@@ -1,0 +1,71 @@
+"""Typed configuration for the TPU-native ICM-SLAM engine.
+
+Parameter names and semantics are 1:1 with the reference YAML schema
+(``config_ros.yaml`` / ``config_default.yaml``; parsed by ConfigICM at
+reference ICM_SLAM.py:60-102), so existing reference configs load unchanged.
+TPU-specific knobs live in their own namespace and have safe defaults.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class ICMConfig:
+    """Physics / algorithm parameters (reference-compatible)."""
+
+    # --- reference parameters (config_ros.yaml keys) ---
+    N: int = 30                      # outer ICM iterations
+    deltat: float = 0.1              # sampling period [s]
+    L: int = 1024                    # landmark table capacity
+    Q: Tuple[float, float] = (1.0, 1.0)          # observation weight diag
+    R: Tuple[float, float, float] = (1.0, 1.0, 1.0)  # motion-model weight diag
+    cte_odom: float = 1.0            # odometry-residual weight
+    cota: float = 300.0              # min observations to keep a landmark
+    dist_thr: float = 1.0            # association / merge distance gate [m]
+    rango_laser_max: float = 10.0    # lidar max range [m]
+    radio: float = 0.137             # tree trunk radius compensation [m]
+    time: float = 275.0              # online capture window [s]
+    file: str = "data_IJAC2018.mat"
+
+    # --- sensor geometry ---
+    n_beams: int = 181               # beams per scan (offline .mat layout)
+    beam0_deg: float = 0.0           # angle of beam 0 in the scan frame
+    beam_step_deg: float = 1.0
+
+    # --- ROS topics (online mode; kept for config compatibility) ---
+    topic_laser: str = "/pioneer2dx/laser/scan_Lidar_horizontal"
+    topic_laser_msg: str = "sensor_msgs/LaserScan"
+    topic_odometry: str = "/pioneer2dx/ground_truth/odom"
+    topic_odometry_msg: str = "nav_msgs/Odometry"
+
+    # --- engine knobs (new; not in the reference) ---
+    sweep_mode: str = "batched"      # "sequential" | "batched"
+    pose_gn_iters: int = 12          # LM iterations per pose solve
+    pose_passes: int = 2             # red-black half-pass pairs per batched sweep
+    replicate_new_obs_quirk: bool = True  # ICM_SLAM.py:176 empty-slice quirk
+    dtype: str = "float32"
+
+    @property
+    def Tf(self) -> Optional[int]:
+        return getattr(self, "_Tf", None)
+
+    @staticmethod
+    def from_yaml(path: str, **overrides) -> "ICMConfig":
+        """Load a reference-format YAML (top-level key ``D``)."""
+        with open(path) as f:
+            data = yaml.safe_load(f)
+        d = data.get("D", data)
+        known = {f.name for f in dataclasses.fields(ICMConfig)}
+        kwargs = {}
+        for k, v in d.items():
+            if k not in known:
+                continue
+            if k in ("Q", "R"):
+                v = tuple(float(x) for x in v)
+            kwargs[k] = v
+        kwargs.update(overrides)
+        return ICMConfig(**kwargs)

@@ -1,0 +1,163 @@
+"""ICM outer loop: init sweep + N refinement sweeps + map filtering.
+
+Equivalent of the reference __main__ pipeline (ICM_ROS.py:280-316): causal
+initialization, then N offline sweeps, with per-iteration map-change metrics
+(calc_cambio semantics, ICM_SLAM.py:490-495).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icm_slam_tpu.config import ICMConfig
+from icm_slam_tpu.core.energy import weights
+from icm_slam_tpu.core.geometry import beam_angles, beams_to_world
+from icm_slam_tpu.data.datasets import Dataset
+from icm_slam_tpu.frontend.scan_filter import filter_scans, preprocess_ranges
+from icm_slam_tpu.mapping.landmark_map import (MapState, filter_map,
+                                               seed_from_clusters)
+from icm_slam_tpu.solver.sweeps import (SweepData, init_sweep,
+                                        refine_sweep_batched,
+                                        refine_sweep_sequential)
+
+
+def first_frame_labels(pts: np.ndarray, dist_thr: float,
+                       criterion: str = "inconsistent") -> np.ndarray:
+    """Host-side hierarchical clustering of the very first frame's points.
+
+    The reference seeds the map by single-linkage clustering with scipy's
+    default 'inconsistent' criterion (ICM_SLAM.py:161).  This runs exactly
+    once per dataset, on <= B points, so it stays on the host.
+    """
+    if pts.shape[0] == 0:
+        return np.zeros((0,), np.int32)
+    if pts.shape[0] == 1:
+        return np.zeros((1,), np.int32)
+    from scipy.cluster.hierarchy import fcluster, linkage
+    from scipy.spatial.distance import pdist
+    return (fcluster(linkage(pdist(pts)), dist_thr, criterion=criterion)
+            - 1).astype(np.int32)
+
+
+@dataclasses.dataclass
+class ICMResult:
+    x_init: np.ndarray          # (T, 3) poses after iteration 0
+    x: np.ndarray               # (T, 3) refined poses
+    map_pos: np.ndarray         # (K, 2) live landmarks
+    map_counts: np.ndarray      # (K,)
+    changes: np.ndarray         # (N, 3) min/max/mean map change per iter
+    timings: dict
+
+
+def prepare(dataset: Dataset, config: ICMConfig, dtype=None) -> SweepData:
+    """Preprocess + batch-filter the whole dataset into fixed-shape arrays."""
+    dtype = dtype or jnp.dtype(config.dtype)
+    scans = jnp.asarray(dataset.scans, dtype)
+    ranges = preprocess_ranges(scans, config.rango_laser_max, config.radio)
+    dist, mask = filter_scans(ranges, config.rango_laser_max, config.dist_thr,
+                              dataset.n_beams, config.beam_step_deg,
+                              config.beam0_deg)
+    ang = beam_angles(dataset.n_beams, config.beam_step_deg, config.beam0_deg,
+                      dtype)
+    return SweepData(dist=dist, mask=mask, ang=ang,
+                     odom=jnp.asarray(dataset.odom, dtype),
+                     u=jnp.asarray(dataset.u, dtype))
+
+
+def seed_map(data: SweepData, x0, config: ICMConfig) -> MapState:
+    """Cluster frame 0 on the host and seed the landmark table."""
+    pts = np.asarray(beams_to_world(x0, data.dist[0], data.ang))
+    mask0 = np.asarray(data.mask[0])
+    pts_valid = pts[mask0]
+    labels = first_frame_labels(pts_valid, config.dist_thr)
+    L = config.L
+    if pts_valid.shape[0] == 0:
+        from icm_slam_tpu.mapping.landmark_map import empty_map
+        return empty_map(L, data.dist.dtype)
+    return seed_from_clusters(L, pts_valid, labels, data.dist.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _init_jit(data, seed, x0, config):
+    return init_sweep(data, seed, x0, config, weights(config))
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _refine_jit(data, old_map, x, config):
+    w = weights(config)
+    if config.sweep_mode == "sequential":
+        state, x = refine_sweep_sequential(data, old_map, x, config, w)
+    else:
+        state, x = refine_sweep_batched(data, old_map, x, config, w)
+    filtered = filter_map(state, config.cota, config.dist_thr)
+    return filtered, x
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _filter_jit(state, config):
+    return filter_map(state, config.cota, config.dist_thr)
+
+
+def map_change(new_map: MapState, old_map: MapState):
+    """min/max/mean nearest-landmark displacement (ICM_SLAM.py:490-495)."""
+    L = new_map.pos.shape[0]
+    live_new = jnp.arange(L) < new_map.nact
+    live_old = jnp.arange(L) < old_map.nact
+    d = jnp.linalg.norm(old_map.pos[:, None, :] - new_map.pos[None, :, :],
+                        axis=-1)
+    d = jnp.where(live_old[:, None] & live_new[None, :], d, jnp.inf)
+    md = jnp.min(d, axis=0)
+    md = jnp.where(live_new, md, jnp.nan)
+    return (jnp.nanmin(md), jnp.nanmax(md), jnp.nanmean(md))
+
+
+def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
+        verbose: bool = False, callback=None) -> ICMResult:
+    """Full pipeline: init + N ICM iterations."""
+    n_iters = config.N if n_iters is None else n_iters
+    timings = {}
+
+    t0 = time.perf_counter()
+    data = prepare(dataset, config)
+    x0 = jnp.asarray(dataset.x0, data.dist.dtype)
+    seed = seed_map(data, x0, config)
+    jax.block_until_ready(seed)
+    timings["prepare_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    state, x = _init_jit(data, seed, x0, config)
+    cur_map = _filter_jit(state, config)
+    jax.block_until_ready(x)
+    timings["init_s"] = time.perf_counter() - t0
+    x_init = np.asarray(x)
+
+    changes = []
+    t0 = time.perf_counter()
+    for k in range(n_iters):
+        prev_map = cur_map
+        cur_map, x = _refine_jit(data, prev_map, x, config)
+        ch = map_change(cur_map, prev_map)
+        changes.append([float(c) for c in ch])
+        if callback is not None:
+            callback(k, cur_map, x)
+        if verbose:
+            corr = float(jnp.sum(jnp.linalg.norm(x - x_init, axis=1)))
+            print(f"[icm] iter {k + 1}/{n_iters} "
+                  f"landmarks={int(cur_map.nact)} correction={corr:.4f}",
+                  flush=True)
+    jax.block_until_ready(x)
+    timings["refine_s"] = time.perf_counter() - t0
+    timings["refine_per_iter_s"] = timings["refine_s"] / max(n_iters, 1)
+
+    nact = int(cur_map.nact)
+    return ICMResult(
+        x_init=x_init, x=np.asarray(x),
+        map_pos=np.asarray(cur_map.pos[:nact]),
+        map_counts=np.asarray(cur_map.counts[:nact]),
+        changes=np.asarray(changes), timings=timings)

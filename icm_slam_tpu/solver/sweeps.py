@@ -1,0 +1,285 @@
+"""ICM sweep engines: causal init, sequential refine, batched refine.
+
+Three sweeps over the trajectory:
+
+* ``init_sweep`` — ICM iteration 0 (ICM_ROS.py:47-119): causal, the map grows
+  as frames arrive, each pose chains on the previous one.  Inherently
+  sequential -> lax.scan with the (map, pose) carry.
+
+* ``refine_sweep_sequential`` — faithful Gauss-Seidel sweep
+  (ICM_ROS.py:121-164): pose t uses *fresh* x[t-1] and *stale* x[t+1]; the
+  accumulating map feeds running means to the cost.  lax.scan carrying the
+  full pose array.  This mode exists for fidelity validation (matches the
+  oracle's update order exactly).
+
+* ``refine_sweep_batched`` — the TPU-native mode.  Key observations about the
+  reference semantics that make it parallel:
+    - association at frame t uses the STALE pose x[t] and the FROZEN previous
+      map (ICM_ROS.py:149-150) -> all T associations batch into one masked
+      distance/argmin pass;
+    - the matched map value read back is the RUNNING weighted mean up to
+      frame t (y evolves during the sweep) -> an inclusive cumulative
+      segment-sum over frames reproduces it EXACTLY;
+    - new-landmark label allocation is one label per frame-with-far-obs
+      (the ICM_SLAM.py:176 quirk) -> a cumsum of frame flags;
+    - the only remaining sequential coupling is x[t-1]/x[t+1] in the pose
+      cost -> red-black Gauss-Seidel half-passes, each updating ~T/2 poses in
+      one vmapped LM solve.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from icm_slam_tpu.core.energy import (PoseProblem, one_sided_residuals,
+                                      two_sided_residuals)
+from icm_slam_tpu.core.geometry import beams_to_world, unicycle_step
+from icm_slam_tpu.mapping.landmark_map import (MapState, allocate_new_labels,
+                                               associate, update)
+from icm_slam_tpu.solver.gauss_newton import lm_minimize
+
+
+class SweepData(NamedTuple):
+    """Pre-filtered dataset, fixed shapes. T frames x B beams."""
+    dist: jnp.ndarray   # (T, B) median-filtered ranges
+    mask: jnp.ndarray   # (T, B) informative-beam mask
+    ang: jnp.ndarray    # (B,) beam angles
+    odom: jnp.ndarray   # (T, 3) odometry poses
+    u: jnp.ndarray      # (T, 2) controls [v, omega]
+
+
+def _zeros3(dtype):
+    return jnp.zeros((3,), dtype)
+
+
+def _problem_one_sided(data: SweepData, t, matched, x_prev):
+    z = _zeros3(data.odom.dtype)
+    return PoseProblem(
+        dist=data.dist[t], ang=data.ang, mask=data.mask[t], matched=matched,
+        x_prev=x_prev, u_prev=data.u[t - 1], odo_prev=data.odom[t - 1],
+        odo_cur=data.odom[t], x_next=z, u_cur=jnp.zeros((2,), z.dtype),
+        odo_next=z)
+
+
+# ---------------------------------------------------------------------------
+# causal init sweep (ICM iteration 0)
+# ---------------------------------------------------------------------------
+
+def init_sweep(data: SweepData, seed: MapState, x0, config, w
+               ) -> Tuple[MapState, jnp.ndarray]:
+    """Run the causal initialization over frames 1..T-1.
+
+    ``seed`` is the map after frame 0 (host-side first-frame clustering,
+    ICM_SLAM.py:160-165). Returns (map_state, poses (T,3)).
+    """
+    T = data.dist.shape[0]
+    dist_thr = config.dist_thr
+    quirk = config.replicate_new_obs_quirk
+
+    def step(carry, t):
+        state, xt = carry
+        xtc = unicycle_step(xt, data.u[t - 1], config.deltat)
+        empty = ~jnp.any(data.mask[t])
+        pts = beams_to_world(xtc, data.dist[t], data.ang)
+        new_state, labels = update(state, state.pos, state.nact, pts,
+                                   data.mask[t], dist_thr, quirk)
+        matched = new_state.pos[jnp.clip(labels, 0, state.pos.shape[0] - 1)]
+        prob = _problem_one_sided(data, t, matched, xt)
+        x_opt = lm_minimize(lambda x: one_sided_residuals(x, prob, w), xtc,
+                            iters=config.pose_gn_iters)
+        x_new = jnp.where(empty, xtc, x_opt)
+        return (new_state, x_new), x_new
+
+    (state, _), xs = jax.lax.scan(step, (seed, x0), jnp.arange(1, T))
+    x = jnp.concatenate([x0[None, :], xs], axis=0)
+    return state, x
+
+
+# ---------------------------------------------------------------------------
+# sequential refinement sweep (fidelity mode)
+# ---------------------------------------------------------------------------
+
+def refine_sweep_sequential(data: SweepData, old_map: MapState, x, config, w
+                            ) -> Tuple[MapState, jnp.ndarray]:
+    """One Gauss-Seidel ICM sweep, faithful to ICM_ROS.py:121-164."""
+    T = x.shape[0]
+    L = old_map.pos.shape[0]
+    dist_thr = config.dist_thr
+    quirk = config.replicate_new_obs_quirk
+    dtype = x.dtype
+
+    state0 = MapState(jnp.zeros((L, 2), dtype), jnp.zeros((L,), dtype),
+                      old_map.nact)
+    x0 = x[0]
+    pts0 = beams_to_world(x0, data.dist[0], data.ang)
+    state0, _ = update(state0, old_map.pos, old_map.nact, pts0, data.mask[0],
+                       dist_thr, quirk)
+
+    def step(carry, t):
+        state, x_all, xt_run = carry
+        empty = ~jnp.any(data.mask[t])
+        last = t == T - 1
+
+        # --- map update with the stale pose of this frame ---
+        pts = beams_to_world(x_all[t], data.dist[t], data.ang)
+        new_state, labels = update(state, old_map.pos, old_map.nact, pts,
+                                   data.mask[t], dist_thr, quirk)
+        matched = new_state.pos[jnp.clip(labels, 0, L - 1)]
+
+        x_prev = x_all[t - 1]                       # fresh (already updated)
+        x_next = x_all[jnp.minimum(t + 1, T - 1)]   # stale
+
+        # interior pose: symmetric two-sided cost, init at midpoint
+        prob2 = PoseProblem(
+            dist=data.dist[t], ang=data.ang, mask=data.mask[t],
+            matched=matched, x_prev=x_prev, u_prev=data.u[t - 1],
+            odo_prev=data.odom[t - 1], odo_cur=data.odom[t], x_next=x_next,
+            u_cur=data.u[jnp.minimum(t, T - 1)],
+            odo_next=data.odom[jnp.minimum(t + 1, T - 1)])
+        x_two = lm_minimize(lambda xx: two_sided_residuals(xx, prob2, w),
+                            (x_prev + x_next) / 2.0,
+                            iters=config.pose_gn_iters)
+        # last pose: one-sided cost, init at kinematic prediction
+        prob1 = _problem_one_sided(data, t, matched, x_prev)
+        x_one = lm_minimize(lambda xx: one_sided_residuals(xx, prob1, w),
+                            unicycle_step(x_prev, data.u[t - 1],
+                                          config.deltat),
+                            iters=config.pose_gn_iters)
+
+        x_opt = jnp.where(last, x_one, x_two)
+        x_avg = (xt_run + x_next) / 2.0            # empty-frame path
+        x_t = jnp.where(empty, x_avg, x_opt)
+
+        state = jax.tree.map(lambda a, b: jnp.where(empty, a, b), state,
+                             new_state)
+        x_all = x_all.at[t].set(x_t)
+        return (state, x_all, x_t), None
+
+    (state, x_all, _), _ = jax.lax.scan(step, (state0, x, x[0]),
+                                        jnp.arange(1, T))
+    return state, x_all
+
+
+# ---------------------------------------------------------------------------
+# batched refinement sweep (TPU-native mode)
+# ---------------------------------------------------------------------------
+
+def batched_associate(data: SweepData, old_map: MapState, x, config):
+    """Associate every frame against the frozen map in one batched pass.
+
+    Returns (labels (T,B) int32 in [0, L] with L = discard,
+             map_after (MapState), matched (T,B,2) running-mean values).
+    """
+    T, B = data.dist.shape
+    L = old_map.pos.shape[0]
+    dist_thr = config.dist_thr
+    dtype = x.dtype
+
+    pts = beams_to_world(x, data.dist, data.ang)            # (T, B, 2)
+    ref_live = jnp.arange(L) < old_map.nact
+
+    lab, _ = jax.vmap(
+        lambda p, m: associate(old_map.pos, ref_live, p, m, dist_thr)
+    )(pts, data.mask)                                        # (T, B)
+
+    far = lab == -1
+    if config.replicate_new_obs_quirk:
+        has_far = jnp.any(far, axis=1)                       # (T,)
+        # frame t's new label = nact0 + (#frames before t that spawned one)
+        new_id = old_map.nact + jnp.cumsum(has_far) - 1
+        lab = jnp.where(far, new_id[:, None], lab)
+        n_new = jnp.sum(has_far).astype(jnp.int32)
+    else:
+        from icm_slam_tpu.mapping.landmark_map import (
+            compact_labels, connected_component_labels)
+
+        def frame_components(p, m, f):
+            comp = connected_component_labels(p, f & m, dist_thr)
+            comp = compact_labels(comp, f & m, B)
+            k = jnp.where(jnp.any(f & m),
+                          jnp.max(jnp.where(f & m, comp, -1)) + 1, 0)
+            return comp, k
+
+        comp, k = jax.vmap(frame_components)(pts, data.mask, far)
+        base = old_map.nact + jnp.cumsum(k) - k
+        lab = jnp.where(far, base[:, None] + comp, lab)
+        n_new = jnp.sum(k).astype(jnp.int32)
+
+    # --- running-mean map via cumulative segment sums -----------------------
+    w = (lab < L).astype(dtype)                               # (T, B)
+
+    # per-frame segment sums, then inclusive cumsum over frames
+    def frame_sums(p, l, wi):
+        s = jax.ops.segment_sum(p * wi[:, None], l, num_segments=L + 1)[:L]
+        c = jax.ops.segment_sum(wi, l, num_segments=L + 1)[:L]
+        return s, c
+
+    sums, cnts = jax.vmap(frame_sums)(pts, lab, w)            # (T,L,2),(T,L)
+    cum_sums = jnp.cumsum(sums, axis=0)
+    cum_cnts = jnp.cumsum(cnts, axis=0)
+    y_run = cum_sums / jnp.maximum(cum_cnts, 1.0)[..., None]  # (T, L, 2)
+
+    matched = jax.vmap(
+        lambda yr, l: yr[jnp.clip(l, 0, L - 1)])(y_run, lab)  # (T, B, 2)
+
+    final = MapState(y_run[-1] * (cum_cnts[-1] > 0)[:, None],
+                     cum_cnts[-1], old_map.nact + n_new)
+    return lab, final, matched
+
+
+def _pose_candidates(data: SweepData, x, matched, config, w):
+    """Optimized pose for every frame t>=1 given fixed matched map values.
+
+    Returns (x_two (T,3), x_one (T,3)): two-sided and one-sided solutions
+    (entries at t=0 are garbage; callers never select them).
+    """
+    T = x.shape[0]
+    t_idx = jnp.arange(T)
+    tm1 = jnp.maximum(t_idx - 1, 0)
+    tp1 = jnp.minimum(t_idx + 1, T - 1)
+
+    def solve_two(t):
+        prob = PoseProblem(
+            dist=data.dist[t], ang=data.ang, mask=data.mask[t],
+            matched=matched[t], x_prev=x[tm1[t]], u_prev=data.u[tm1[t]],
+            odo_prev=data.odom[tm1[t]], odo_cur=data.odom[t],
+            x_next=x[tp1[t]], u_cur=data.u[t], odo_next=data.odom[tp1[t]])
+        x_init = (x[tm1[t]] + x[tp1[t]]) / 2.0
+        return lm_minimize(lambda xx: two_sided_residuals(xx, prob, w),
+                           x_init, iters=config.pose_gn_iters)
+
+    def solve_one(t):
+        prob = _problem_one_sided(data, jnp.maximum(t, 1), matched[t],
+                                  x[tm1[t]])
+        x_init = unicycle_step(x[tm1[t]], data.u[tm1[t]], config.deltat)
+        return lm_minimize(lambda xx: one_sided_residuals(xx, prob, w),
+                           x_init, iters=config.pose_gn_iters)
+
+    return jax.vmap(solve_two)(t_idx), jax.vmap(solve_one)(t_idx)
+
+
+def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w
+                         ) -> Tuple[MapState, jnp.ndarray]:
+    """One TPU-parallel ICM sweep: batched association + red-black poses."""
+    T = x.shape[0]
+    t_idx = jnp.arange(T)
+    empty = ~jnp.any(data.mask, axis=1)                       # (T,)
+
+    lab, final_map, matched = batched_associate(data, old_map, x, config)
+
+    def half_pass(x, parity):
+        x_two, x_one = _pose_candidates(data, x, matched, config, w)
+        tm1 = jnp.maximum(t_idx - 1, 0)
+        tp1 = jnp.minimum(t_idx + 1, T - 1)
+        x_avg = (x[tm1] + x[tp1]) / 2.0
+        cand = jnp.where((t_idx == T - 1)[:, None], x_one, x_two)
+        cand = jnp.where(empty[:, None], x_avg, cand)
+        sel = (t_idx % 2 == parity) & (t_idx >= 1)
+        return jnp.where(sel[:, None], cand, x)
+
+    for _ in range(config.pose_passes):
+        x = half_pass(x, 1)
+        x = half_pass(x, 0)
+    return final_map, x
