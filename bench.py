@@ -1,0 +1,90 @@
+"""Headline benchmark: ICM refinement throughput on data_IJAC2018.
+
+Prints ONE JSON line:
+  {"metric": "icm_refine_frames_per_s", "value": ..., "unit": "frames/s",
+   "vs_baseline": ...}
+
+Baseline (BASELINE.md): the reference Python pipeline refines at ~127
+frames/s per ICM iteration on one CPU core.  vs_baseline = ours / 127.
+
+Runs the production configuration (float32, batched red-black sweep,
+L=1024) on the full 1833-frame dataset; compile time excluded by warmup.
+Optional flags: --mode sequential|batched, --iters K, --frames T, --json-only.
+"""
+import argparse
+import json
+import sys
+import time
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", default="batched")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from icm_slam_tpu.config import ICMConfig
+    from icm_slam_tpu.data.datasets import load_ijac2018
+    from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit, _refine_jit,
+                                         prepare, seed_map)
+    from icm_slam_tpu.core.energy import weights
+
+    ds = load_ijac2018("/root/reference/scripts/data_IJAC2018.mat")
+    if args.frames:
+        ds = ds.slice(args.frames)
+    T = ds.T
+    cfg = ICMConfig(N=args.iters, L=1024, sweep_mode=args.mode,
+                    dtype="float32")
+
+    data = prepare(ds, cfg)
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    seed = seed_map(data, x0, cfg)
+
+    # --- init sweep (iteration 0) ---
+    t0 = time.perf_counter()
+    state, x = _init_jit(data, seed, x0, cfg)
+    jax.block_until_ready(x)
+    init_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, x = _init_jit(data, seed, x0, cfg)
+    jax.block_until_ready(x)
+    init_s = time.perf_counter() - t0
+    cur_map = _filter_jit(state, cfg)
+
+    # --- refinement sweeps: warmup (compile) then timed loop ---
+    m_w, x_w = _refine_jit(data, cur_map, x, cfg)
+    jax.block_until_ready(x_w)
+
+    t0 = time.perf_counter()
+    m, xx = cur_map, x
+    for _ in range(args.iters):
+        m, xx = _refine_jit(data, m, xx, cfg)
+    jax.block_until_ready(xx)
+    refine_s = (time.perf_counter() - t0) / args.iters
+
+    fps = T / refine_s
+    baseline_fps = 127.0
+    if args.verbose:
+        print(f"# device={jax.devices()[0]} mode={args.mode} T={T}",
+              file=sys.stderr)
+        print(f"# init: {init_s:.3f}s ({T / init_s:.0f} f/s, compile "
+              f"{init_compile_s:.1f}s); refine: {refine_s * 1e3:.1f} ms/iter",
+              file=sys.stderr)
+    print(json.dumps({
+        "metric": "icm_refine_frames_per_s",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / baseline_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

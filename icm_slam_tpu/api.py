@@ -1,0 +1,122 @@
+"""High-level user API: the reference's entry points, TPU-native.
+
+``run_offline``  — entry point C equivalent (.mat replay through the full
+                   pipeline: init + N ICM iterations), with optional
+                   checkpoint/resume and JSON-lines metrics.
+``run_online``   — entry point A equivalent: consume a frame stream (replay
+                   feeder or live adapter) causally, then refine offline.
+
+Both accept reference-format YAML configs (ICMConfig.from_yaml).
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from icm_slam_tpu.config import ICMConfig
+from icm_slam_tpu.data.datasets import Dataset, load
+from icm_slam_tpu.solver.icm import ICMResult, run
+from icm_slam_tpu.utils import checkpoint as ckpt
+from icm_slam_tpu.utils.metrics import JsonlLogger, ate
+
+
+def run_offline(dataset, config: Optional[ICMConfig] = None,
+                checkpoint_dir: Optional[str] = None,
+                resume: bool = False,
+                log_path: Optional[str] = None,
+                verbose: bool = False) -> ICMResult:
+    """Full offline pipeline on a Dataset (or dataset name/path)."""
+    if isinstance(dataset, str):
+        dataset = load(dataset)
+    config = config or ICMConfig()
+    logger = JsonlLogger(log_path) if (log_path or verbose) else None
+
+    start_iter = 0
+    if resume and checkpoint_dir:
+        path = ckpt.latest(checkpoint_dir)
+        if path:
+            state = ckpt.load(path)
+            start_iter = int(state["iteration"]) + 1
+            if logger:
+                logger.log("resume", path=path, start_iter=start_iter)
+            # resume = rerun remaining iterations from the checkpointed state
+            return _resume_run(dataset, config, state, start_iter,
+                               checkpoint_dir, logger)
+
+    def cb(k, cur_map, x):
+        if checkpoint_dir:
+            nact = int(cur_map.nact)
+            ckpt.save(os.path.join(checkpoint_dir, f"icm_ckpt_{k}.npz"),
+                      k, np.asarray(x), np.asarray(cur_map.pos[:nact]),
+                      np.asarray(cur_map.counts[:nact]), nact)
+        if logger:
+            logger.log("iteration", k=k, landmarks=int(cur_map.nact))
+
+    result = run(dataset, config, verbose=verbose, callback=cb)
+    if logger:
+        logger.log("done", landmarks=result.map_pos.shape[0],
+                   timings=result.timings,
+                   ate_vs_odom=ate(result.x, dataset.odom))
+    return result
+
+
+def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
+                start_iter: int, checkpoint_dir, logger) -> ICMResult:
+    import jax.numpy as jnp
+    from icm_slam_tpu.core.energy import weights
+    from icm_slam_tpu.mapping.landmark_map import MapState
+    from icm_slam_tpu.solver.icm import (_refine_jit, map_change, prepare)
+
+    data = prepare(dataset, config)
+    dtype = data.dist.dtype
+    L = config.L
+    pos = jnp.zeros((L, 2), dtype).at[:state["map_pos"].shape[0]].set(
+        jnp.asarray(state["map_pos"], dtype))
+    counts = jnp.zeros((L,), dtype).at[:state["map_counts"].shape[0]].set(
+        jnp.asarray(state["map_counts"], dtype))
+    cur_map = MapState(pos, counts, jnp.asarray(int(state["nact"]), jnp.int32))
+    x = jnp.asarray(state["x"], dtype)
+    x_init = state.get("x_init", np.asarray(x))
+
+    changes = []
+    import time as _time
+    t0 = _time.perf_counter()
+    for k in range(start_iter, config.N):
+        prev = cur_map
+        cur_map, x = _refine_jit(data, prev, x, config)
+        changes.append([float(c) for c in map_change(cur_map, prev)])
+        if checkpoint_dir:
+            nact = int(cur_map.nact)
+            ckpt.save(os.path.join(checkpoint_dir, f"icm_ckpt_{k}.npz"),
+                      k, np.asarray(x), np.asarray(cur_map.pos[:nact]),
+                      np.asarray(cur_map.counts[:nact]), nact)
+        if logger:
+            logger.log("iteration", k=k, landmarks=int(cur_map.nact))
+    refine_s = _time.perf_counter() - t0
+
+    nact = int(cur_map.nact)
+    n_done = max(config.N - start_iter, 1)
+    return ICMResult(
+        x_init=np.asarray(x_init), x=np.asarray(x),
+        map_pos=np.asarray(cur_map.pos[:nact]),
+        map_counts=np.asarray(cur_map.counts[:nact]),
+        changes=np.asarray(changes),
+        timings={"refine_s": refine_s,
+                 "refine_per_iter_s": refine_s / n_done})
+
+
+def run_online(stream, config: Optional[ICMConfig] = None,
+               refine: bool = True, verbose: bool = False) -> ICMResult:
+    """Online pipeline: causal init over a frame stream, then offline refine.
+
+    ``stream`` is any iterable of (ranges, odom, u) frame tuples — see
+    icm_slam_tpu.runtime.replay / icm_slam_tpu.runtime.ingest.
+    """
+    from icm_slam_tpu.runtime.online import OnlineSLAM
+    config = config or ICMConfig()
+    eng = OnlineSLAM(config, verbose=verbose)
+    for frame in stream:
+        eng.push(*frame)
+    return eng.finish(refine=refine)

@@ -67,6 +67,51 @@ def _problem_one_sided(data: SweepData, t, matched, x_prev):
 # causal init sweep (ICM iteration 0)
 # ---------------------------------------------------------------------------
 
+def _causal_step(data: SweepData, config, w):
+    """One frame of the causal init (ICM_ROS.py:102-119) as a scan body.
+
+    carry = (map_state, previous pose); step input = (frame arrays, prev
+    control/odometry) so the same body serves the whole-dataset sweep and
+    the online chunked stream.
+    """
+    dist_thr = config.dist_thr
+    quirk = config.replicate_new_obs_quirk
+
+    def step(carry, inp):
+        state, xt = carry
+        dist_t, mask_t, u_prev, odo_prev, odo_cur = inp
+        xtc = unicycle_step(xt, u_prev, config.deltat)
+        empty = ~jnp.any(mask_t)
+        pts = beams_to_world(xtc, dist_t, data.ang)
+        new_state, labels = update(state, state.pos, state.nact, pts,
+                                   mask_t, dist_thr, quirk)
+        matched = new_state.pos[jnp.clip(labels, 0, state.pos.shape[0] - 1)]
+        z3 = jnp.zeros((3,), xt.dtype)
+        prob = PoseProblem(
+            dist=dist_t, ang=data.ang, mask=mask_t, matched=matched,
+            x_prev=xt, u_prev=u_prev, odo_prev=odo_prev, odo_cur=odo_cur,
+            x_next=z3, u_cur=jnp.zeros((2,), xt.dtype), odo_next=z3)
+        x_opt = lm_minimize(lambda x: one_sided_residuals(x, prob, w), xtc,
+                            iters=config.pose_gn_iters)
+        x_new = jnp.where(empty, xtc, x_opt)
+        return (new_state, x_new), x_new
+
+    return step
+
+
+def init_chunk(data: SweepData, state: MapState, xt, config, w, t_offset=1
+               ) -> Tuple[MapState, jnp.ndarray, jnp.ndarray]:
+    """Causal init over the frames t_offset..T-1 of ``data``, from carry
+    (state, xt). Returns (state, last pose, poses for those frames)."""
+    step = _causal_step(data, config, w)
+    T = data.dist.shape[0]
+    inputs = (data.dist[t_offset:], data.mask[t_offset:],
+              data.u[t_offset - 1:T - 1], data.odom[t_offset - 1:T - 1],
+              data.odom[t_offset:])
+    (state, xt), xs = jax.lax.scan(step, (state, xt), inputs)
+    return state, xt, xs
+
+
 def init_sweep(data: SweepData, seed: MapState, x0, config, w
                ) -> Tuple[MapState, jnp.ndarray]:
     """Run the causal initialization over frames 1..T-1.
@@ -74,25 +119,7 @@ def init_sweep(data: SweepData, seed: MapState, x0, config, w
     ``seed`` is the map after frame 0 (host-side first-frame clustering,
     ICM_SLAM.py:160-165). Returns (map_state, poses (T,3)).
     """
-    T = data.dist.shape[0]
-    dist_thr = config.dist_thr
-    quirk = config.replicate_new_obs_quirk
-
-    def step(carry, t):
-        state, xt = carry
-        xtc = unicycle_step(xt, data.u[t - 1], config.deltat)
-        empty = ~jnp.any(data.mask[t])
-        pts = beams_to_world(xtc, data.dist[t], data.ang)
-        new_state, labels = update(state, state.pos, state.nact, pts,
-                                   data.mask[t], dist_thr, quirk)
-        matched = new_state.pos[jnp.clip(labels, 0, state.pos.shape[0] - 1)]
-        prob = _problem_one_sided(data, t, matched, xt)
-        x_opt = lm_minimize(lambda x: one_sided_residuals(x, prob, w), xtc,
-                            iters=config.pose_gn_iters)
-        x_new = jnp.where(empty, xtc, x_opt)
-        return (new_state, x_new), x_new
-
-    (state, _), xs = jax.lax.scan(step, (seed, x0), jnp.arange(1, T))
+    state, _, xs = init_chunk(data, seed, x0, config, w, t_offset=1)
     x = jnp.concatenate([x0[None, :], xs], axis=0)
     return state, x
 
@@ -260,10 +287,18 @@ def _pose_candidates(data: SweepData, x, matched, config, w):
     return jax.vmap(solve_two)(t_idx), jax.vmap(solve_one)(t_idx)
 
 
-def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w
+def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,
+                         last_t: int | None = None
                          ) -> Tuple[MapState, jnp.ndarray]:
-    """One TPU-parallel ICM sweep: batched association + red-black poses."""
+    """One TPU-parallel ICM sweep: batched association + red-black poses.
+
+    ``last_t``: index of the last REAL frame (defaults to T-1).  When the
+    time axis is padded up to the mesh size, frames past last_t are
+    all-masked and excluded from pose selection.
+    """
     T = x.shape[0]
+    if last_t is None:
+        last_t = T - 1
     t_idx = jnp.arange(T)
     empty = ~jnp.any(data.mask, axis=1)                       # (T,)
 
@@ -274,9 +309,9 @@ def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w
         tm1 = jnp.maximum(t_idx - 1, 0)
         tp1 = jnp.minimum(t_idx + 1, T - 1)
         x_avg = (x[tm1] + x[tp1]) / 2.0
-        cand = jnp.where((t_idx == T - 1)[:, None], x_one, x_two)
+        cand = jnp.where((t_idx == last_t)[:, None], x_one, x_two)
         cand = jnp.where(empty[:, None], x_avg, cand)
-        sel = (t_idx % 2 == parity) & (t_idx >= 1)
+        sel = (t_idx % 2 == parity) & (t_idx >= 1) & (t_idx <= last_t)
         return jnp.where(sel[:, None], cand, x)
 
     for _ in range(config.pose_passes):
