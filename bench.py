@@ -41,8 +41,9 @@ def main():
     if args.frames:
         ds = ds.slice(args.frames)
     T = ds.T
+    on_tpu = jax.devices()[0].platform != "cpu"
     cfg = ICMConfig(N=args.iters, L=1024, sweep_mode=args.mode,
-                    dtype="float32")
+                    dtype="float32", use_pallas_assoc=on_tpu)
 
     data = prepare(ds, cfg)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)

@@ -1,0 +1,121 @@
+"""Command-line interface.
+
+    python -m icm_slam_tpu run --dataset ijac2018 --config <yaml> [...]
+    python -m icm_slam_tpu replay --dataset ijac2018 --hz 10 [...]
+    python -m icm_slam_tpu bench [...]
+
+``run`` is the offline pipeline (reference entry point C / __main__);
+``replay`` feeds frames through the online engine at a fixed rate (reference
+entry points A+D: createbag.py publisher + online init).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _add_common(ap):
+    ap.add_argument("--dataset", default="ijac2018",
+                    help="ijac2018 | palomar | synthetic | /path/to.mat")
+    ap.add_argument("--config", default=None, help="reference-format YAML")
+    ap.add_argument("--iters", type=int, default=None, help="override N")
+    ap.add_argument("--frames", type=int, default=0, help="truncate frames")
+    ap.add_argument("--mode", default=None,
+                    choices=["sequential", "batched"], help="sweep mode")
+    ap.add_argument("--cpu", action="store_true", help="force CPU backend")
+    ap.add_argument("--out", default=None, help="write result .npz here")
+    ap.add_argument("--log", default=None, help="JSON-lines metrics path")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--quiet", action="store_true")
+
+
+def _build(args):
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from icm_slam_tpu.config import ICMConfig
+    from icm_slam_tpu.data.datasets import load
+
+    overrides = {}
+    if args.iters is not None:
+        overrides["N"] = args.iters
+    if args.mode:
+        overrides["sweep_mode"] = args.mode
+    if not args.cpu and jax.devices()[0].platform != "cpu":
+        overrides.setdefault("use_pallas_assoc", True)
+    cfg = (ICMConfig.from_yaml(args.config, **overrides) if args.config
+           else ICMConfig(**overrides))
+    ds = load(args.dataset)
+    if args.frames:
+        ds = ds.slice(args.frames)
+    return ds, cfg
+
+
+def _save(args, res, ds):
+    import numpy as np
+    if args.out:
+        np.savez_compressed(args.out, x=res.x, x_init=res.x_init,
+                            map_pos=res.map_pos, map_counts=res.map_counts,
+                            changes=res.changes)
+    if not args.quiet:
+        from icm_slam_tpu.utils.metrics import ate
+        summary = {
+            "frames": int(res.x.shape[0]),
+            "landmarks": int(res.map_pos.shape[0]),
+            "timings": {k: round(v, 4) for k, v in res.timings.items()},
+            "ate_vs_odom": ate(res.x, ds.odom),
+        }
+        print(json.dumps(summary))
+
+
+def cmd_run(args):
+    ds, cfg = _build(args)
+    from icm_slam_tpu.api import run_offline
+    res = run_offline(ds, cfg, checkpoint_dir=args.checkpoint_dir,
+                      resume=args.resume, log_path=args.log,
+                      verbose=not args.quiet)
+    _save(args, res, ds)
+
+
+def cmd_replay(args):
+    ds, cfg = _build(args)
+    from icm_slam_tpu.api import run_online
+    from icm_slam_tpu.runtime.replay import stream_dataset
+    res = run_online(stream_dataset(ds, hz=args.hz), cfg,
+                     refine=not args.no_refine, verbose=not args.quiet)
+    _save(args, res, ds)
+
+
+def cmd_bench(args):
+    import subprocess
+    cmd = [sys.executable, "bench.py"] + args.rest
+    raise SystemExit(subprocess.call(cmd))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="icm_slam_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_run = sub.add_parser("run", help="offline pipeline on a dataset")
+    _add_common(p_run)
+    p_run.set_defaults(fn=cmd_run)
+
+    p_rep = sub.add_parser("replay", help="stream frames through the online engine")
+    _add_common(p_rep)
+    p_rep.add_argument("--hz", type=float, default=0.0,
+                       help="replay rate (0 = as fast as possible)")
+    p_rep.add_argument("--no-refine", action="store_true")
+    p_rep.set_defaults(fn=cmd_replay)
+
+    p_b = sub.add_parser("bench", help="run the headline benchmark")
+    p_b.add_argument("rest", nargs="*")
+    p_b.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,6 +47,7 @@ class ICMConfig:
     pose_gn_iters: int = 12          # LM iterations per pose solve
     pose_passes: int = 2             # red-black half-pass pairs per batched sweep
     replicate_new_obs_quirk: bool = True  # ICM_SLAM.py:176 empty-slice quirk
+    use_pallas_assoc: bool = False   # fused TPU correspondence kernel
     dtype: str = "float32"
 
     @property

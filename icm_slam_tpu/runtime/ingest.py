@@ -1,0 +1,213 @@
+"""Live sensor ingestion: ROS-bridge message adapter + time-sync pairing.
+
+Replaces the reference's L1/L2 stack (ROS class ICM_SLAM.py:267-341, Sensor
+base ICM_SLAM.py:343-449, Lidar/Odometria sensors_definitions.py) with an
+explicit, race-free design:
+
+* message PARSERS are pure functions on rosbridge JSON dicts (schema
+  identical to the reference: sensor_msgs/LaserScan, nav_msgs/Odometry);
+* a ``FrameSynchronizer`` pairs lidar+odometry by timestamp on a fixed
+  deltat grid — the reference's Sensor.sort search (ICM_SLAM.py:372-426)
+  without its bugs (busy-wait race; odom message count used for the laser
+  queue, ICM_SLAM.py:307);
+* ``RosBridgeSource`` is an optional roslibpy websocket client (the
+  reference's transport); it degrades to a clear ImportError message when
+  roslibpy isn't installed — the rest of the engine never imports it.
+"""
+from __future__ import annotations
+
+import bisect
+import math
+import threading
+from typing import Iterator, List, Optional, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# message parsing (schemas per the reference's callbacks)
+# ---------------------------------------------------------------------------
+
+def stamp_of(msg: dict) -> float:
+    """header.stamp -> seconds (Sensor.header_process, ICM_SLAM.py:428-440)."""
+    s = msg["header"]["stamp"]
+    return s["secs"] + s["nsecs"] * 1e-9
+
+
+def parse_laser_scan(msg: dict, max_range: float, radio: float,
+                     n_beams: int = 181) -> np.ndarray:
+    """sensor_msgs/LaserScan -> (n_beams,) ranges.
+
+    NaN -> max range, +tree radius, clip (Lidar.callback,
+    sensors_definitions.py:20-29); scans on a different angular grid are
+    resampled to 1-degree beams starting at -pi/2.
+    """
+    z = np.asarray(msg["ranges"], dtype=float)
+    z[~np.isfinite(z)] = max_range
+    z = np.minimum(z + radio, max_range)
+    if z.shape[0] != n_beams:
+        angle_min = float(msg["angle_min"])
+        inc = float(msg["angle_increment"])
+        s0 = int((-math.pi / 2 - angle_min) / inc)
+        step = max(1, round((math.pi / 180.0) / inc))
+        z = z[s0:s0 + step * n_beams:step]
+        if z.shape[0] < n_beams:
+            z = np.pad(z, (0, n_beams - z.shape[0]),
+                       constant_values=max_range)
+    return z
+
+
+def quat_to_yaw(qx: float, qy: float, qz: float, qw: float) -> float:
+    """Quaternion -> yaw (Odometria.callback, sensors_definitions.py:58-62)."""
+    t3 = 2.0 * (qw * qz + qx * qy)
+    t4 = 1.0 - 2.0 * (qy * qy + qz * qz)
+    return math.atan2(t3, t4)
+
+
+def parse_odometry(msg: dict) -> Tuple[np.ndarray, np.ndarray]:
+    """nav_msgs/Odometry -> (pose [x,y,yaw], control [v,w])."""
+    p = msg["pose"]["pose"]
+    o = p["orientation"]
+    pose = np.array([p["position"]["x"], p["position"]["y"],
+                     quat_to_yaw(o["x"], o["y"], o["z"], o["w"])])
+    tw = msg["twist"]["twist"]
+    u = np.array([tw["linear"]["x"], tw["angular"]["z"]])
+    return pose, u
+
+
+# ---------------------------------------------------------------------------
+# time synchronization
+# ---------------------------------------------------------------------------
+
+class FrameSynchronizer:
+    """Pairs lidar + odometry messages onto a fixed deltat grid.
+
+    Thread-safe: feed_* may be called from a network thread; ``drain()``
+    from the consumer.  A frame k is emitted when both sensors have a
+    message within deltat of t0 + k*deltat (same tolerance as Sensor.sort,
+    ICM_SLAM.py:397).  Frames missing either sensor are dropped, like the
+    reference (ICM_SLAM.py:326-327).
+    """
+
+    def __init__(self, deltat: float):
+        self.deltat = deltat
+        self._lock = threading.Lock()
+        self._laser: List[Tuple[float, np.ndarray]] = []
+        self._odo: List[Tuple[float, np.ndarray, np.ndarray]] = []
+        self._t0: Optional[float] = None
+        self._k = 0
+
+    def feed_laser(self, stamp: float, ranges: np.ndarray):
+        with self._lock:
+            self._laser.append((stamp, ranges))
+
+    def feed_odometry(self, stamp: float, pose: np.ndarray, u: np.ndarray):
+        with self._lock:
+            self._odo.append((stamp, pose, u))
+
+    def _nearest(self, series, target):
+        keys = [s[0] for s in series]
+        i = bisect.bisect_left(keys, target)
+        best, best_d = None, float("inf")
+        for j in (i - 1, i):
+            if 0 <= j < len(series):
+                d = abs(keys[j] - target)
+                if d < best_d:
+                    best, best_d = j, d
+        return best, best_d
+
+    def drain(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+        """Yield all currently pairable frames (ranges, pose, u)."""
+        with self._lock:
+            laser = list(self._laser)
+            odo = list(self._odo)
+        if not laser or not odo:
+            return
+        if self._t0 is None:
+            self._t0 = max(laser[0][0], odo[0][0])
+        while True:
+            target = self._t0 + self._k * self.deltat
+            li, ld = self._nearest(laser, target)
+            oi, od = self._nearest(odo, target)
+            if li is None or oi is None:
+                return
+            # stop when the buffers haven't reached this grid point yet
+            if laser[-1][0] < target + self.deltat or \
+                    odo[-1][0] < target + self.deltat:
+                return
+            self._k += 1
+            if ld < self.deltat and od < self.deltat:
+                yield laser[li][1], odo[oi][1], odo[oi][2]
+            # else: desynchronized frame -> dropped (reference behavior)
+
+
+# ---------------------------------------------------------------------------
+# optional websocket transport (the reference's rosbridge contract)
+# ---------------------------------------------------------------------------
+
+class RosBridgeSource:
+    """Subscribe to the reference's topics over rosbridge and emit frames.
+
+    Requires ``roslibpy`` (not bundled).  Advertises the same
+    /icm_slam/iterative_flag SetBool service as the reference
+    (ICM_SLAM.py:285-286) to trigger refinement.
+    """
+
+    def __init__(self, config, host: str = "localhost", port: int = 9090):
+        try:
+            import roslibpy  # noqa: F401
+        except ImportError as e:
+            raise ImportError(
+                "RosBridgeSource needs roslibpy (pip install roslibpy); "
+                "offline replay (icm_slam_tpu.runtime.replay) has no such "
+                "dependency") from e
+        self._roslibpy = roslibpy
+        self.config = config
+        self.sync = FrameSynchronizer(config.deltat)
+        self.iterations_flag = False
+        self._client = roslibpy.Ros(host=host, port=port)
+
+    def _on_laser(self, msg):
+        self.sync.feed_laser(
+            stamp_of(msg),
+            parse_laser_scan(msg, self.config.rango_laser_max,
+                             self.config.radio, self.config.n_beams))
+
+    def _on_odom(self, msg):
+        pose, u = parse_odometry(msg)
+        self.sync.feed_odometry(stamp_of(msg), pose, u)
+
+    def _on_flag(self, request, response):
+        response["success"] = True
+        response["message"] = "Working..."
+        self.iterations_flag = True
+        return True
+
+    def connect(self):
+        roslibpy = self._roslibpy
+        self._client.run()
+        roslibpy.Topic(self._client, self.config.topic_laser,
+                       self.config.topic_laser_msg).subscribe(self._on_laser)
+        roslibpy.Topic(self._client, self.config.topic_odometry,
+                       self.config.topic_odometry_msg).subscribe(self._on_odom)
+        service = roslibpy.Service(self._client, "/icm_slam/iterative_flag",
+                                   "std_srvs/SetBool")
+        service.advertise(self._on_flag)
+
+    def disconnect(self):
+        self._client.terminate()
+
+    def frames(self, duration: float):
+        """Generator over paired frames for ``duration`` seconds (the
+        reference's config.time capture window, ICM_ROS.py:73)."""
+        import time
+        t_end = time.time() + duration
+        while time.time() < t_end:
+            yielded = False
+            for frame in self.sync.drain():
+                yielded = True
+                yield frame
+            if self.iterations_flag and not yielded:
+                return
+            if not yielded:
+                time.sleep(0.01)

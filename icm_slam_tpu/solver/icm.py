@@ -104,6 +104,7 @@ def _filter_jit(state, config):
     return filter_map(state, config.cota, config.dist_thr)
 
 
+@jax.jit
 def map_change(new_map: MapState, old_map: MapState):
     """min/max/mean nearest-landmark displacement (ICM_SLAM.py:490-495)."""
     L = new_map.pos.shape[0]
@@ -114,7 +115,7 @@ def map_change(new_map: MapState, old_map: MapState):
     d = jnp.where(live_old[:, None] & live_new[None, :], d, jnp.inf)
     md = jnp.min(d, axis=0)
     md = jnp.where(live_new, md, jnp.nan)
-    return (jnp.nanmin(md), jnp.nanmax(md), jnp.nanmean(md))
+    return jnp.stack([jnp.nanmin(md), jnp.nanmax(md), jnp.nanmean(md)])
 
 
 def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
@@ -142,8 +143,8 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
     for k in range(n_iters):
         prev_map = cur_map
         cur_map, x = _refine_jit(data, prev_map, x, config)
-        ch = map_change(cur_map, prev_map)
-        changes.append([float(c) for c in ch])
+        # device-side metric; host sync deferred to the end of the loop
+        changes.append(map_change(cur_map, prev_map))
         if callback is not None:
             callback(k, cur_map, x)
         if verbose:
@@ -151,6 +152,7 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
             print(f"[icm] iter {k + 1}/{n_iters} "
                   f"landmarks={int(cur_map.nact)} correction={corr:.4f}",
                   flush=True)
+    changes = [np.asarray(c).tolist() for c in changes]
     jax.block_until_ready(x)
     timings["refine_s"] = time.perf_counter() - t0
     timings["refine_per_iter_s"] = timings["refine_s"] / max(n_iters, 1)

@@ -205,11 +205,18 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
     dtype = x.dtype
 
     pts = beams_to_world(x, data.dist, data.ang)            # (T, B, 2)
-    ref_live = jnp.arange(L) < old_map.nact
 
-    lab, _ = jax.vmap(
-        lambda p, m: associate(old_map.pos, ref_live, p, m, dist_thr)
-    )(pts, data.mask)                                        # (T, B)
+    if config.use_pallas_assoc and L % 256 == 0:
+        from icm_slam_tpu.ops.assoc_pallas import nearest_landmark
+        nearest_lab, min_dist = nearest_landmark(pts, old_map.pos,
+                                                 old_map.nact)
+        lab = jnp.where(min_dist > dist_thr, -1, nearest_lab)
+        lab = jnp.where(data.mask, lab, L)                   # (T, B)
+    else:
+        ref_live = jnp.arange(L) < old_map.nact
+        lab, _ = jax.vmap(
+            lambda p, m: associate(old_map.pos, ref_live, p, m, dist_thr)
+        )(pts, data.mask)                                    # (T, B)
 
     far = lab == -1
     if config.replicate_new_obs_quirk:
@@ -256,35 +263,33 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
     return lab, final, matched
 
 
-def _pose_candidates(data: SweepData, x, matched, config, w):
-    """Optimized pose for every frame t>=1 given fixed matched map values.
-
-    Returns (x_two (T,3), x_one (T,3)): two-sided and one-sided solutions
-    (entries at t=0 are garbage; callers never select them).
-    """
+def _solve_two_at(data: SweepData, x, matched, config, w, ts):
+    """Two-sided LM solves for the pose subset ``ts`` (K,) — one vmapped
+    batch of K problems, not T (half-pass only updates one parity)."""
     T = x.shape[0]
-    t_idx = jnp.arange(T)
-    tm1 = jnp.maximum(t_idx - 1, 0)
-    tp1 = jnp.minimum(t_idx + 1, T - 1)
 
-    def solve_two(t):
+    def solve(t):
+        tm1 = jnp.maximum(t - 1, 0)
+        tp1 = jnp.minimum(t + 1, T - 1)
         prob = PoseProblem(
             dist=data.dist[t], ang=data.ang, mask=data.mask[t],
-            matched=matched[t], x_prev=x[tm1[t]], u_prev=data.u[tm1[t]],
-            odo_prev=data.odom[tm1[t]], odo_cur=data.odom[t],
-            x_next=x[tp1[t]], u_cur=data.u[t], odo_next=data.odom[tp1[t]])
-        x_init = (x[tm1[t]] + x[tp1[t]]) / 2.0
+            matched=matched[t], x_prev=x[tm1], u_prev=data.u[tm1],
+            odo_prev=data.odom[tm1], odo_cur=data.odom[t],
+            x_next=x[tp1], u_cur=data.u[t], odo_next=data.odom[tp1])
+        x_init = (x[tm1] + x[tp1]) / 2.0
         return lm_minimize(lambda xx: two_sided_residuals(xx, prob, w),
                            x_init, iters=config.pose_gn_iters)
 
-    def solve_one(t):
-        prob = _problem_one_sided(data, jnp.maximum(t, 1), matched[t],
-                                  x[tm1[t]])
-        x_init = unicycle_step(x[tm1[t]], data.u[tm1[t]], config.deltat)
-        return lm_minimize(lambda xx: one_sided_residuals(xx, prob, w),
-                           x_init, iters=config.pose_gn_iters)
+    return jax.vmap(solve)(ts)
 
-    return jax.vmap(solve_two)(t_idx), jax.vmap(solve_one)(t_idx)
+
+def _solve_one_at(data: SweepData, x, matched, config, w, t):
+    """One-sided LM solve at frame ``t`` (the trajectory's last frame)."""
+    tm1 = jnp.maximum(t - 1, 0)
+    prob = _problem_one_sided(data, t, matched[t], x[tm1])
+    x_init = unicycle_step(x[tm1], data.u[tm1], config.deltat)
+    return lm_minimize(lambda xx: one_sided_residuals(xx, prob, w),
+                       x_init, iters=config.pose_gn_iters)
 
 
 def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,
@@ -299,20 +304,26 @@ def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,
     T = x.shape[0]
     if last_t is None:
         last_t = T - 1
-    t_idx = jnp.arange(T)
     empty = ~jnp.any(data.mask, axis=1)                       # (T,)
 
     lab, final_map, matched = batched_associate(data, old_map, x, config)
 
     def half_pass(x, parity):
-        x_two, x_one = _pose_candidates(data, x, matched, config, w)
-        tm1 = jnp.maximum(t_idx - 1, 0)
-        tp1 = jnp.minimum(t_idx + 1, T - 1)
+        start = 1 if parity == 1 else 2
+        ts = jnp.arange(start, T, 2)                          # static shape
+        cand = _solve_two_at(data, x, matched, config, w, ts)
+        # the final real pose uses the one-sided cost (ICM_ROS.py:153-156)
+        if int(last_t) % 2 == parity and int(last_t) >= start:
+            pos = (int(last_t) - start) // 2
+            cand = cand.at[pos].set(
+                _solve_one_at(data, x, matched, config, w, last_t))
+        tm1 = jnp.maximum(ts - 1, 0)
+        tp1 = jnp.minimum(ts + 1, T - 1)
         x_avg = (x[tm1] + x[tp1]) / 2.0
-        cand = jnp.where((t_idx == last_t)[:, None], x_one, x_two)
-        cand = jnp.where(empty[:, None], x_avg, cand)
-        sel = (t_idx % 2 == parity) & (t_idx >= 1) & (t_idx <= last_t)
-        return jnp.where(sel[:, None], cand, x)
+        cand = jnp.where(empty[ts][:, None], x_avg, cand)
+        keep = (ts <= last_t)[:, None]
+        cand = jnp.where(keep, cand, x[ts])
+        return x.at[ts].set(cand)
 
     for _ in range(config.pose_passes):
         x = half_pass(x, 1)
