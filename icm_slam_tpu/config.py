@@ -8,7 +8,7 @@ TPU-specific knobs live in their own namespace and have safe defaults.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import yaml
 
@@ -48,7 +48,12 @@ class ICMConfig:
     pose_passes: int = 2             # red-black half-pass pairs per batched sweep
     replicate_new_obs_quirk: bool = True  # ICM_SLAM.py:176 empty-slice quirk
     use_pallas_assoc: bool = False   # fused TPU correspondence kernel
+    ba_gn_iters: int = 6             # outer GN steps per BA refinement
+    ba_cg_iters: int = 60            # PCG iterations per GN step (BA mode)
     dtype: str = "float32"
+    # user-extensible energy hooks (core.energy.EnergyModel); None = default.
+    # The reference's subclass hooks g_/h_/fun_x_/fun_xn_ (example.py:13-35)
+    model: Optional[Any] = None
 
     @property
     def Tf(self) -> Optional[int]:

@@ -17,7 +17,8 @@ contribute exact zeros, matching the reference's variable-length sums.
 """
 from __future__ import annotations
 
-from typing import NamedTuple
+import dataclasses
+from typing import Callable, NamedTuple, Optional
 
 import jax.numpy as jnp
 
@@ -42,6 +43,37 @@ class PoseProblem(NamedTuple):
     odo_next: jnp.ndarray  # (3,) odometry at t+1
 
 
+@dataclasses.dataclass(frozen=True)
+class EnergyModel:
+    """User-extensible energy definition.
+
+    The reference exposes subclass hooks g_/h_/fun_x_/fun_xn_ for users to
+    swap the kinematic model and potentials (example.py:13-35,
+    external_options.py:17-35).  The TPU-native equivalent is functional:
+    pass replacement callables here; every hook must be jittable.
+
+      kinematics(x, u, deltat) -> (3,)      replaces g (ICM_ROS.py:202-207)
+      obs_scale(dist, ang) -> (B,)           per-beam residual scaling
+                                              (elementwise h reweighting)
+      extra_one_sided(x, prob) -> (k,)       extra residuals added to fun_x
+      extra_two_sided(x, prob) -> (k,)       extra residuals added to fun_xn
+
+    Instances are hashable by identity -> usable as a jit-static config
+    field; reuse one instance across calls to avoid recompilation.
+    """
+    kinematics: Callable = unicycle_step
+    obs_scale: Optional[Callable] = None
+    extra_one_sided: Optional[Callable] = None
+    extra_two_sided: Optional[Callable] = None
+
+    def __hash__(self):
+        return hash((id(self.kinematics), id(self.obs_scale),
+                     id(self.extra_one_sided), id(self.extra_two_sided)))
+
+
+DEFAULT_MODEL = EnergyModel()
+
+
 def _odo_residual(th_anchor, odo0, odo1, dxy, dth):
     """Relative-displacement odometry residual (ICM_ROS.py:272-277).
 
@@ -53,39 +85,48 @@ def _odo_residual(th_anchor, odo0, odo1, dxy, dth):
     return jnp.concatenate([rxy, rth[None]])
 
 
-def obs_residuals(x, p: PoseProblem, sqrt_q):
+def obs_residuals(x, p: PoseProblem, sqrt_q, model: EnergyModel = DEFAULT_MODEL):
     """(B, 2) masked observation residuals (h potential, ICM_ROS.py:171-200)."""
     a = p.ang + x[2] - jnp.pi / 2.0
     pts = x[:2][None, :] + p.dist[:, None] * jnp.stack(
         [jnp.cos(a), jnp.sin(a)], axis=-1)
     r = (pts - p.matched) * sqrt_q[None, :]
+    if model.obs_scale is not None:
+        r = r * model.obs_scale(p.dist, p.ang)[:, None]
     return jnp.where(p.mask[:, None], r, 0.0)
 
 
-def one_sided_residuals(x, p: PoseProblem, w):
+def one_sided_residuals(x, p: PoseProblem, w,
+                        model: EnergyModel = DEFAULT_MODEL):
     """Residuals of fun_x (ICM_ROS.py:262-278). w = (sqrt_r, sqrt_q, sqrt_odom)."""
     sqrt_r, sqrt_q, sqrt_odom, deltat = w
-    gg = x - unicycle_step(p.x_prev, p.u_prev, deltat)
+    gg = x - model.kinematics(p.x_prev, p.u_prev, deltat)
     gg = gg.at[2].set(wrap_angle(gg[2]))
     r_kin = sqrt_r * gg
-    r_obs = obs_residuals(x, p, sqrt_q)
+    r_obs = obs_residuals(x, p, sqrt_q, model)
     r_odo = sqrt_odom * _odo_residual(
         p.x_prev[2], p.odo_prev, p.odo_cur, x[:2] - p.x_prev[:2],
         x[2] - p.x_prev[2])
-    return jnp.concatenate([r_kin, r_obs.reshape(-1), r_odo])
+    parts = [r_kin, r_obs.reshape(-1), r_odo]
+    if model.extra_one_sided is not None:
+        parts.append(model.extra_one_sided(x, p))
+    return jnp.concatenate(parts)
 
 
-def two_sided_residuals(x, p: PoseProblem, w):
+def two_sided_residuals(x, p: PoseProblem, w,
+                        model: EnergyModel = DEFAULT_MODEL):
     """Residuals of fun_xn (ICM_ROS.py:220-252): forward + backward terms."""
     sqrt_r, sqrt_q, sqrt_odom, deltat = w
-    ggf = unicycle_step(x, p.u_cur, deltat) - p.x_next
+    ggf = model.kinematics(x, p.u_cur, deltat) - p.x_next
     ggf = ggf.at[2].set(wrap_angle(ggf[2]))
     r_kinf = sqrt_r * ggf
     r_odof = sqrt_odom * _odo_residual(
         x[2], p.odo_cur, p.odo_next, p.x_next[:2] - x[:2],
         p.x_next[2] - x[2])
-    return jnp.concatenate(
-        [r_kinf, r_odof, one_sided_residuals(x, p, w)])
+    parts = [r_kinf, r_odof, one_sided_residuals(x, p, w, model)]
+    if model.extra_two_sided is not None:
+        parts.append(model.extra_two_sided(x, p))
+    return jnp.concatenate(parts)
 
 
 def weights(config):

@@ -1,0 +1,203 @@
+"""Joint pose+landmark Gauss-Newton with Schur complement ("full-chain BA").
+
+The ICM sweeps minimize the MRF energy by coordinate descent (poses one at a
+time, map by closed-form means).  This backend minimizes the SAME global
+energy
+
+    E(x, y) = sum_t |x_t - g(x_{t-1}, u)|_R^2 + cte |odo residual_t|^2
+            + sum_{t,b} mask |world(x_t, beam) - y_{label(t,b)}|_Q^2
+
+JOINTLY over all poses x (T,3) and landmarks y (L,2) with Gauss-Newton —
+quadratic convergence near the fixed point instead of ICM's linear sweeps.
+
+TPU-native structure (the BASELINE "distributed BA via Schur-complement
+reduction" design):
+
+* associations are frozen per outer iteration (same batched labels as the
+  ICM sweep, including the one-new-landmark-per-frame reference quirk);
+* the landmark block H_yy is EXACTLY diagonal: the observation residual is
+  linear in y with Jacobian -sqrt(Q), so H_yy[l] = Q * count_l — its inverse
+  is elementwise (the "blocked Schur reduction" collapses to a segment-sum,
+  which psum-distributes over time shards for free);
+* the reduced pose system  S dx = -(g_x - H_xy H_yy^-1 g_y)  is solved
+  MATRIX-FREE with PCG: S v = J_x^T J_x v - J_x^T J_y H_yy^-1 J_y^T J_x v,
+  each product one jvp/vjp of the stacked residual map — no Jacobian or
+  Schur matrix is ever materialized;
+* dy back-substitutes in closed form.
+
+Everything is jnp over (T,...)/(L,...) arrays — the same time-axis GSPMD
+sharding as the ICM sweep distributes it.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from icm_slam_tpu.core.geometry import (beams_to_world, rot2, unicycle_step,
+                                        wrap_angle)
+from icm_slam_tpu.mapping.landmark_map import MapState
+from icm_slam_tpu.solver.sweeps import SweepData, batched_associate
+
+
+class BAProblem(NamedTuple):
+    data: SweepData
+    labels: jnp.ndarray      # (T, B) int32 in [0, L]; L = discard
+    obs_w: jnp.ndarray       # (T, B) 0/1 observation weights
+    counts: jnp.ndarray      # (L,) per-landmark observation counts
+    live: jnp.ndarray        # (L,) live-landmark mask (counts > 0)
+
+
+def _residuals(x, y, p: BAProblem, w):
+    """Stacked residuals: (obs (T,B,2), kin (T-1,3), odo (T-1,3))."""
+    sqrt_r, sqrt_q, sqrt_odom, deltat = w
+    data = p.data
+    T = x.shape[0]
+    L = y.shape[0]
+
+    # observations: world points minus matched landmarks (linear in y)
+    pts = beams_to_world(x, data.dist, data.ang)             # (T, B, 2)
+    matched = y[jnp.clip(p.labels, 0, L - 1)]                # (T, B, 2)
+    r_obs = (pts - matched) * sqrt_q[None, None, :] * p.obs_w[..., None]
+
+    # kinematic chain (one-sided form: the global MRF energy)
+    pred = unicycle_step(x[:-1], data.u[:-1], deltat)        # (T-1, 3)
+    gg = x[1:] - pred
+    gg = gg.at[:, 2].set(wrap_angle(gg[:, 2]))
+    r_kin = gg * sqrt_r[None, :]
+
+    # odometry relative-displacement residuals
+    odo0, odo1 = data.odom[:-1], data.odom[1:]
+    R0 = rot2(odo0[:, 2])                                    # (T-1, 2, 2)
+    Ra = rot2(x[:-1, 2])
+    meas = jnp.einsum("tij,tj->ti", R0, odo1[:, :2] - odo0[:, :2])
+    est = jnp.einsum("tij,tj->ti", Ra, x[1:, :2] - x[:-1, :2])
+    r_oxy = meas - est
+    r_oth = wrap_angle(odo1[:, 2] - odo0[:, 2] - (x[1:, 2] - x[:-1, 2]))
+    r_odo = jnp.concatenate([r_oxy, r_oth[:, None]], axis=1) * sqrt_odom
+
+    return r_obs, r_kin, r_odo
+
+
+def energy(x, y, p: BAProblem, w):
+    r_obs, r_kin, r_odo = _residuals(x, y, p, w)
+    return (jnp.sum(r_obs * r_obs) + jnp.sum(r_kin * r_kin)
+            + jnp.sum(r_odo * r_odo))
+
+
+def _sqsum(tree):
+    return sum(jnp.sum(t * t) for t in tree)
+
+
+def ba_refine(data: SweepData, old_map: MapState, x, config, w,
+              gn_iters: int = 6, cg_iters: int = 60, damping: float = 1e-5
+              ) -> Tuple[MapState, jnp.ndarray]:
+    """One outer BA iteration: batched association + joint GN-Schur solve.
+
+    Returns (map_state with optimized landmark positions, optimized poses).
+    """
+    sqrt_q = w[1]
+    L = old_map.pos.shape[0]
+    T = x.shape[0]
+
+    labels, assoc_map, _ = batched_associate(data, old_map, x, config)
+    obs_w = ((labels < L) & data.mask).astype(x.dtype)
+    counts = assoc_map.counts
+    live = counts > 0
+    y0 = assoc_map.pos  # segment means = exact minimizer of obs term given x
+
+    prob = BAProblem(data, labels, obs_w, counts, live)
+    qdiag = sqrt_q * sqrt_q                                  # (2,)
+    gauge = jnp.ones((T, 3), x.dtype).at[0].set(0.0)         # anchor pose 0
+
+    def obs_vjp_y(r_obs):
+        """J_y^T r_obs: scatter weighted residuals back to landmarks."""
+        contrib = -(r_obs * sqrt_q[None, None, :] * prob.obs_w[..., None])
+        flat = contrib.reshape(-1, 2)
+        lab = prob.labels.reshape(-1)
+        return jax.ops.segment_sum(flat, lab, num_segments=L + 1)[:L]
+
+    def obs_jvp_y(dy):
+        """J_y dy: gather landmark deltas to observation residual space."""
+        d = dy[jnp.clip(prob.labels, 0, L - 1)]
+        return -d * sqrt_q[None, None, :] * prob.obs_w[..., None]
+
+    def hyy_inv(gy):
+        """(Q * count_l)^-1 gy — the (diagonal) landmark Schur block."""
+        denom = counts[:, None] * qdiag[None, :] + damping
+        return jnp.where(live[:, None], gy / denom, 0.0)
+
+    def gn_step(carry, _):
+        x, y = carry
+
+        def rx(xx):
+            return _residuals(xx, y, prob, w)
+
+        r = rx(x)
+        (_, vjp_x) = jax.vjp(rx, x)
+        (gx,) = vjp_x(r)
+        gx = gx * gauge
+        gy = obs_vjp_y(r[0])
+        gy = jnp.where(live[:, None], gy, 0.0)
+
+        def jx(v):
+            _, jv = jax.jvp(rx, (x,), (v * gauge,))
+            return jv
+
+        def jxt(rt):
+            (out,) = vjp_x(rt)
+            return out * gauge
+
+        def schur_mv(v):
+            jv = jx(v)                                   # residual-space
+            # landmark coupling: J_y^T J_x v -> H_yy^-1 -> J_y
+            gyv = obs_vjp_y(jv[0])
+            corr = obs_jvp_y(hyy_inv(gyv))
+            jv_corr = (jv[0] - corr, jv[1], jv[2])
+            return jxt(jv_corr) + damping * v * gauge
+
+        rhs = -(gx - jxt((obs_jvp_y(hyy_inv(gy)),
+                          jnp.zeros_like(r[1]), jnp.zeros_like(r[2]))))
+
+        # Jacobi preconditioner on the pose block: approximate diagonal
+        # from the chain structure (cheap, constant): identity works too —
+        # the chain is short-range coupled and CG converges quickly.
+        def pcg(mv, b, iters):
+            x0 = jnp.zeros_like(b)
+            r0 = b
+            p0 = r0
+
+            def body(c, _):
+                xx, rr, pp = c
+                hp = mv(pp)
+                denom = jnp.vdot(pp, hp)
+                alpha = jnp.where(denom > 0, jnp.vdot(rr, rr) / denom, 0.0)
+                x1 = xx + alpha * pp
+                r1 = rr - alpha * hp
+                beta = jnp.where(jnp.vdot(rr, rr) > 0,
+                                 jnp.vdot(r1, r1) / jnp.vdot(rr, rr), 0.0)
+                return (x1, r1, r1 + beta * pp), None
+
+            (xs, _, _), _ = jax.lax.scan(body, (x0, r0, p0), None,
+                                         length=iters)
+            return xs
+
+        dx = pcg(schur_mv, rhs, cg_iters)
+        # back-substitute landmarks: dy = -H_yy^-1 (gy + J_y^T J_x dx)
+        dy = -hyy_inv(gy + obs_vjp_y(jx(dx)[0]))
+
+        x_new = x + dx
+        y_new = y + dy
+        e_old = _sqsum(r)
+        e_new = energy(x_new, y_new, prob, w)
+        ok = e_new < e_old
+        x = jnp.where(ok, x_new, x)
+        y = jnp.where(ok, y_new, y)
+        return (x, y), jnp.minimum(e_new, e_old)
+
+    (x_opt, y_opt), energies = jax.lax.scan(gn_step, (x, y0), None,
+                                            length=gn_iters)
+    final = MapState(jnp.where(live[:, None], y_opt, 0.0), counts,
+                     assoc_map.nact)
+    return final, x_opt

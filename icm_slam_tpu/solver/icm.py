@@ -93,6 +93,11 @@ def _refine_jit(data, old_map, x, config):
     w = weights(config)
     if config.sweep_mode == "sequential":
         state, x = refine_sweep_sequential(data, old_map, x, config, w)
+    elif config.sweep_mode == "ba":
+        from icm_slam_tpu.models.bundle_adjustment import ba_refine
+        state, x = ba_refine(data, old_map, x, config, w,
+                             gn_iters=config.ba_gn_iters,
+                             cg_iters=config.ba_cg_iters)
     else:
         state, x = refine_sweep_batched(data, old_map, x, config, w)
     filtered = filter_map(state, config.cota, config.dist_thr)

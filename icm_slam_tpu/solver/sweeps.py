@@ -33,12 +33,18 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
-from icm_slam_tpu.core.energy import (PoseProblem, one_sided_residuals,
+from icm_slam_tpu.core.energy import (DEFAULT_MODEL, PoseProblem,
+                                      one_sided_residuals,
                                       two_sided_residuals)
 from icm_slam_tpu.core.geometry import beams_to_world, unicycle_step
 from icm_slam_tpu.mapping.landmark_map import (MapState, allocate_new_labels,
                                                associate, update)
 from icm_slam_tpu.solver.gauss_newton import lm_minimize
+
+
+def _model_of(config):
+    """Resolve the (possibly user-supplied) EnergyModel for a config."""
+    return config.model if config.model is not None else DEFAULT_MODEL
 
 
 class SweepData(NamedTuple):
@@ -76,11 +82,12 @@ def _causal_step(data: SweepData, config, w):
     """
     dist_thr = config.dist_thr
     quirk = config.replicate_new_obs_quirk
+    model = _model_of(config)
 
     def step(carry, inp):
         state, xt = carry
         dist_t, mask_t, u_prev, odo_prev, odo_cur = inp
-        xtc = unicycle_step(xt, u_prev, config.deltat)
+        xtc = model.kinematics(xt, u_prev, config.deltat)
         empty = ~jnp.any(mask_t)
         pts = beams_to_world(xtc, dist_t, data.ang)
         new_state, labels = update(state, state.pos, state.nact, pts,
@@ -91,8 +98,9 @@ def _causal_step(data: SweepData, config, w):
             dist=dist_t, ang=data.ang, mask=mask_t, matched=matched,
             x_prev=xt, u_prev=u_prev, odo_prev=odo_prev, odo_cur=odo_cur,
             x_next=z3, u_cur=jnp.zeros((2,), xt.dtype), odo_next=z3)
-        x_opt = lm_minimize(lambda x: one_sided_residuals(x, prob, w), xtc,
-                            iters=config.pose_gn_iters)
+        x_opt = lm_minimize(
+            lambda x: one_sided_residuals(x, prob, w, model), xtc,
+            iters=config.pose_gn_iters)
         x_new = jnp.where(empty, xtc, x_opt)
         return (new_state, x_new), x_new
 
@@ -135,6 +143,7 @@ def refine_sweep_sequential(data: SweepData, old_map: MapState, x, config, w
     L = old_map.pos.shape[0]
     dist_thr = config.dist_thr
     quirk = config.replicate_new_obs_quirk
+    model = _model_of(config)
     dtype = x.dtype
 
     state0 = MapState(jnp.zeros((L, 2), dtype), jnp.zeros((L,), dtype),
@@ -165,15 +174,15 @@ def refine_sweep_sequential(data: SweepData, old_map: MapState, x, config, w
             odo_prev=data.odom[t - 1], odo_cur=data.odom[t], x_next=x_next,
             u_cur=data.u[jnp.minimum(t, T - 1)],
             odo_next=data.odom[jnp.minimum(t + 1, T - 1)])
-        x_two = lm_minimize(lambda xx: two_sided_residuals(xx, prob2, w),
-                            (x_prev + x_next) / 2.0,
-                            iters=config.pose_gn_iters)
+        x_two = lm_minimize(
+            lambda xx: two_sided_residuals(xx, prob2, w, model),
+            (x_prev + x_next) / 2.0, iters=config.pose_gn_iters)
         # last pose: one-sided cost, init at kinematic prediction
         prob1 = _problem_one_sided(data, t, matched, x_prev)
-        x_one = lm_minimize(lambda xx: one_sided_residuals(xx, prob1, w),
-                            unicycle_step(x_prev, data.u[t - 1],
-                                          config.deltat),
-                            iters=config.pose_gn_iters)
+        x_one = lm_minimize(
+            lambda xx: one_sided_residuals(xx, prob1, w, model),
+            model.kinematics(x_prev, data.u[t - 1], config.deltat),
+            iters=config.pose_gn_iters)
 
         x_opt = jnp.where(last, x_one, x_two)
         x_avg = (xt_run + x_next) / 2.0            # empty-frame path
@@ -267,6 +276,7 @@ def _solve_two_at(data: SweepData, x, matched, config, w, ts):
     """Two-sided LM solves for the pose subset ``ts`` (K,) — one vmapped
     batch of K problems, not T (half-pass only updates one parity)."""
     T = x.shape[0]
+    model = _model_of(config)
 
     def solve(t):
         tm1 = jnp.maximum(t - 1, 0)
@@ -277,19 +287,22 @@ def _solve_two_at(data: SweepData, x, matched, config, w, ts):
             odo_prev=data.odom[tm1], odo_cur=data.odom[t],
             x_next=x[tp1], u_cur=data.u[t], odo_next=data.odom[tp1])
         x_init = (x[tm1] + x[tp1]) / 2.0
-        return lm_minimize(lambda xx: two_sided_residuals(xx, prob, w),
-                           x_init, iters=config.pose_gn_iters)
+        return lm_minimize(
+            lambda xx: two_sided_residuals(xx, prob, w, model),
+            x_init, iters=config.pose_gn_iters)
 
     return jax.vmap(solve)(ts)
 
 
 def _solve_one_at(data: SweepData, x, matched, config, w, t):
     """One-sided LM solve at frame ``t`` (the trajectory's last frame)."""
+    model = _model_of(config)
     tm1 = jnp.maximum(t - 1, 0)
     prob = _problem_one_sided(data, t, matched[t], x[tm1])
-    x_init = unicycle_step(x[tm1], data.u[tm1], config.deltat)
-    return lm_minimize(lambda xx: one_sided_residuals(xx, prob, w),
-                       x_init, iters=config.pose_gn_iters)
+    x_init = model.kinematics(x[tm1], data.u[tm1], config.deltat)
+    return lm_minimize(
+        lambda xx: one_sided_residuals(xx, prob, w, model),
+        x_init, iters=config.pose_gn_iters)
 
 
 def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,

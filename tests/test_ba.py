@@ -1,0 +1,72 @@
+"""Full-chain Gauss-Newton BA backend (Schur over landmarks)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from icm_slam_tpu.config import ICMConfig
+from icm_slam_tpu.core.energy import weights
+from icm_slam_tpu.data.datasets import synthetic_world
+from icm_slam_tpu.solver.icm import prepare, run, seed_map
+from icm_slam_tpu.solver.sweeps import batched_associate
+
+
+def test_ba_energy_decreases():
+    from icm_slam_tpu.models.bundle_adjustment import (BAProblem, ba_refine,
+                                                       energy)
+    ds = synthetic_world(T=120, n_landmarks=10, seed=2)
+    cfg = ICMConfig(N=1, L=256, cota=5.0, dtype="float32")
+    data = prepare(ds, cfg)
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    seed = seed_map(data, x0, cfg)
+    # perturb the odometry trajectory so BA has real work to do
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(ds.odom + rng.normal(0, 0.05, ds.odom.shape),
+                    data.dist.dtype)
+    w = weights(cfg)
+
+    labels, amap, _ = batched_associate(data, seed, x, cfg)
+    L = seed.pos.shape[0]
+    prob = BAProblem(data, labels, ((labels < L) & data.mask).astype(x.dtype),
+                     amap.counts, amap.counts > 0)
+    e0 = float(energy(x, amap.pos, prob, w))
+
+    final, x_opt = ba_refine(data, seed, x, cfg, w, gn_iters=5, cg_iters=40)
+    e1 = float(energy(x_opt, final.pos, prob, w))
+    # solver criteria (the energy has a large irreducible sensor-noise
+    # floor, so absolute decrease is small): never increase, and reach at
+    # least the quality of the obvious candidate — the noise-free odometry
+    # trajectory with its optimal (segment-mean) map
+    assert e1 <= e0
+    xg = jnp.asarray(ds.odom, data.dist.dtype)
+    e_odom = float(energy(xg.at[0].set(x[0]), amap.pos, prob, w))
+    assert e1 <= e_odom + 1e-3, (e1, e_odom)
+    # pose 0 is gauge-anchored
+    np.testing.assert_allclose(np.asarray(x_opt[0]), np.asarray(x[0]),
+                               atol=1e-7)
+
+
+def test_ba_mode_matches_icm_fixed_point(ijac):
+    """BA and ICM modes should land near the same solution on real data."""
+    ds = ijac.slice(300)
+    r_icm = run(ds, ICMConfig(N=2, L=256, sweep_mode="batched",
+                              dtype="float32"))
+    r_ba = run(ds, ICMConfig(N=2, L=256, sweep_mode="ba", dtype="float32"))
+    d = np.sqrt(((r_icm.x[:, :2] - r_ba.x[:, :2]) ** 2).sum(1)).mean()
+    assert d < 0.1, d
+    assert r_icm.map_pos.shape == r_ba.map_pos.shape
+
+
+@pytest.mark.slow
+def test_palomar_golden():
+    from icm_slam_tpu.data.datasets import load_palomar
+    import os
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "palomar_N5.npz")
+    if not os.path.exists(path):
+        pytest.skip("palomar golden not generated")
+    g = np.load(path)
+    ds = load_palomar("/root/reference/scripts/datos_palomar1.mat")
+    res = run(ds, ICMConfig(N=5, L=1024, dtype="float32"))
+    ate = np.sqrt(((res.x[:, :2] - g["x"].T[:, :2]) ** 2).sum(1)).mean()
+    assert ate < 0.15, ate
+    assert res.map_pos.shape[0] == g["map"].shape[1]
