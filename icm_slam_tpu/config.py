@@ -26,6 +26,9 @@ class ICMConfig:
     cte_odom: float = 1.0            # odometry-residual weight
     cota: float = 300.0              # min observations to keep a landmark
     dist_thr: float = 1.0            # association / merge distance gate [m]
+    dist_thr_obs: float = 1.0        # accepted for YAML compat; the
+                                     # reference parses but never uses it
+                                     # (ICM_SLAM.py:88)
     rango_laser_max: float = 10.0    # lidar max range [m]
     radio: float = 0.137             # tree trunk radius compensation [m]
     time: float = 275.0              # online capture window [s]
