@@ -46,6 +46,10 @@ def main():
                     dtype="float32", use_pallas_assoc=on_tpu)
 
     data = prepare(ds, cfg)
+    if cfg.sweep_mode == "batched":
+        import dataclasses
+        from icm_slam_tpu.solver.sweeps import auto_obs_cap
+        cfg = dataclasses.replace(cfg, obs_cap=auto_obs_cap(data.mask))
     x0 = jnp.asarray(ds.x0, data.dist.dtype)
     seed = seed_map(data, x0, cfg)
 

@@ -47,10 +47,15 @@ class ICMConfig:
 
     # --- engine knobs (new; not in the reference) ---
     sweep_mode: str = "batched"      # "sequential" | "batched"
-    pose_gn_iters: int = 12          # LM iterations per pose solve
+    pose_gn_iters: int = 8           # LM iterations per pose solve
     pose_passes: int = 2             # red-black half-pass pairs per batched sweep
     replicate_new_obs_quirk: bool = True  # ICM_SLAM.py:176 empty-slice quirk
     use_pallas_assoc: bool = False   # fused TPU correspondence kernel
+    obs_cap: int = 0                 # compact pose solves to this many beams
+                                     # per frame (0 = no compaction; set >=
+                                     # the dataset's max valid-beam count —
+                                     # solver.sweeps.auto_obs_cap — for an
+                                     # exact but much cheaper solve)
     ba_gn_iters: int = 6             # outer GN steps per BA refinement
     ba_cg_iters: int = 60            # PCG iterations per GN step (BA mode)
     dtype: str = "float32"

@@ -131,6 +131,10 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
 
     t0 = time.perf_counter()
     data = prepare(dataset, config)
+    if config.obs_cap == 0 and config.sweep_mode == "batched":
+        from icm_slam_tpu.solver.sweeps import auto_obs_cap
+        config = dataclasses.replace(config,
+                                     obs_cap=auto_obs_cap(data.mask))
     x0 = jnp.asarray(dataset.x0, data.dist.dtype)
     seed = seed_map(data, x0, config)
     jax.block_until_ready(seed)

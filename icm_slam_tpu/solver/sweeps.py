@@ -272,18 +272,44 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
     return lab, final, matched
 
 
-def _solve_two_at(data: SweepData, x, matched, config, w, ts):
+def compact_obs(data: SweepData, matched, cap: int):
+    """Gather each frame's valid beams to the front and truncate to ``cap``.
+
+    Real frames carry only ~10-17 informative beams out of 181 (the scan
+    filter removes the rest); pose solves over the full padded beam axis
+    waste ~90% of their FLOPs on zero residuals.  ``cap`` must be >= the
+    dataset's max per-frame valid count for exactness (auto_obs_cap).
+    Returns (dist (T,cap), ang (T,cap), mask (T,cap), matched (T,cap,2)).
+    """
+    order = jnp.argsort(~data.mask, axis=1, stable=True)[:, :cap]   # (T,cap)
+    dist_c = jnp.take_along_axis(data.dist, order, axis=1)
+    ang_c = data.ang[order]
+    mask_c = jnp.take_along_axis(data.mask, order, axis=1)
+    matched_c = jnp.take_along_axis(matched, order[..., None], axis=1)
+    return dist_c, ang_c, mask_c, matched_c
+
+
+def auto_obs_cap(mask, multiple: int = 8) -> int:
+    """Smallest safe compaction budget for a dataset (host-side, static)."""
+    import numpy as np
+    m = int(np.asarray(mask.sum(axis=1)).max()) if mask.shape[0] else 0
+    return max(multiple, -(-m // multiple) * multiple)
+
+
+def _solve_two_at(data: SweepData, x, obs, config, w, ts):
     """Two-sided LM solves for the pose subset ``ts`` (K,) — one vmapped
-    batch of K problems, not T (half-pass only updates one parity)."""
+    batch of K problems, not T (half-pass only updates one parity).
+    ``obs`` = (dist, ang, mask, matched), each (T, cap...)-shaped."""
     T = x.shape[0]
     model = _model_of(config)
+    dist_c, ang_c, mask_c, matched_c = obs
 
     def solve(t):
         tm1 = jnp.maximum(t - 1, 0)
         tp1 = jnp.minimum(t + 1, T - 1)
         prob = PoseProblem(
-            dist=data.dist[t], ang=data.ang, mask=data.mask[t],
-            matched=matched[t], x_prev=x[tm1], u_prev=data.u[tm1],
+            dist=dist_c[t], ang=ang_c[t], mask=mask_c[t],
+            matched=matched_c[t], x_prev=x[tm1], u_prev=data.u[tm1],
             odo_prev=data.odom[tm1], odo_cur=data.odom[t],
             x_next=x[tp1], u_cur=data.u[t], odo_next=data.odom[tp1])
         x_init = (x[tm1] + x[tp1]) / 2.0
@@ -294,11 +320,17 @@ def _solve_two_at(data: SweepData, x, matched, config, w, ts):
     return jax.vmap(solve)(ts)
 
 
-def _solve_one_at(data: SweepData, x, matched, config, w, t):
+def _solve_one_at(data: SweepData, x, obs, config, w, t):
     """One-sided LM solve at frame ``t`` (the trajectory's last frame)."""
     model = _model_of(config)
+    dist_c, ang_c, mask_c, matched_c = obs
     tm1 = jnp.maximum(t - 1, 0)
-    prob = _problem_one_sided(data, t, matched[t], x[tm1])
+    z3 = jnp.zeros((3,), x.dtype)
+    prob = PoseProblem(
+        dist=dist_c[t], ang=ang_c[t], mask=mask_c[t], matched=matched_c[t],
+        x_prev=x[tm1], u_prev=data.u[tm1], odo_prev=data.odom[tm1],
+        odo_cur=data.odom[t], x_next=z3, u_cur=jnp.zeros((2,), x.dtype),
+        odo_next=z3)
     x_init = model.kinematics(x[tm1], data.u[tm1], config.deltat)
     return lm_minimize(
         lambda xx: one_sided_residuals(xx, prob, w, model),
@@ -320,16 +352,18 @@ def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,
     empty = ~jnp.any(data.mask, axis=1)                       # (T,)
 
     lab, final_map, matched = batched_associate(data, old_map, x, config)
+    cap = config.obs_cap if config.obs_cap else data.dist.shape[1]
+    obs = compact_obs(data, matched, cap)
 
     def half_pass(x, parity):
         start = 1 if parity == 1 else 2
         ts = jnp.arange(start, T, 2)                          # static shape
-        cand = _solve_two_at(data, x, matched, config, w, ts)
+        cand = _solve_two_at(data, x, obs, config, w, ts)
         # the final real pose uses the one-sided cost (ICM_ROS.py:153-156)
         if int(last_t) % 2 == parity and int(last_t) >= start:
             pos = (int(last_t) - start) // 2
             cand = cand.at[pos].set(
-                _solve_one_at(data, x, matched, config, w, last_t))
+                _solve_one_at(data, x, obs, config, w, last_t))
         tm1 = jnp.maximum(ts - 1, 0)
         tp1 = jnp.minimum(ts + 1, T - 1)
         x_avg = (x[tm1] + x[tp1]) / 2.0
