@@ -58,6 +58,7 @@ class ICMConfig:
                                      # exact but much cheaper solve)
     ba_gn_iters: int = 6             # outer GN steps per BA refinement
     ba_cg_iters: int = 60            # PCG iterations per GN step (BA mode)
+    ba_window: int = 64              # keyframe block size (windowed_ba mode)
     dtype: str = "float32"
     # user-extensible energy hooks (core.energy.EnergyModel); None = default.
     # The reference's subclass hooks g_/h_/fun_x_/fun_xn_ (example.py:13-35)

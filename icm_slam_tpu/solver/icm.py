@@ -98,6 +98,10 @@ def _refine_jit(data, old_map, x, config):
         state, x = ba_refine(data, old_map, x, config, w,
                              gn_iters=config.ba_gn_iters,
                              cg_iters=config.ba_cg_iters)
+    elif config.sweep_mode == "windowed_ba":
+        from icm_slam_tpu.models.windowed_ba import windowed_ba_refine
+        state, x = windowed_ba_refine(data, old_map, x, config, w,
+                                      window=config.ba_window)
     else:
         state, x = refine_sweep_batched(data, old_map, x, config, w)
     filtered = filter_map(state, config.cota, config.dist_thr)
@@ -131,7 +135,7 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
 
     t0 = time.perf_counter()
     data = prepare(dataset, config)
-    if config.obs_cap == 0 and config.sweep_mode == "batched":
+    if config.obs_cap == 0 and config.sweep_mode in ("batched", "windowed_ba"):
         from icm_slam_tpu.solver.sweeps import auto_obs_cap
         config = dataclasses.replace(config,
                                      obs_cap=auto_obs_cap(data.mask))

@@ -70,3 +70,41 @@ def test_palomar_golden():
     ate = np.sqrt(((res.x[:, :2] - g["x"].T[:, :2]) ** 2).sum(1)).mean()
     assert ate < 0.15, ate
     assert res.map_pos.shape[0] == g["map"].shape[1]
+
+
+def test_windowed_ba_mode(ijac):
+    """Windowed BA (64-keyframe blocks) matches the ICM fixed point."""
+    ds = ijac.slice(300)
+    r_icm = run(ds, ICMConfig(N=2, L=256, sweep_mode="batched",
+                              dtype="float32"))
+    r_win = run(ds, ICMConfig(N=2, L=256, sweep_mode="windowed_ba",
+                              dtype="float32", ba_gn_iters=4))
+    d = np.sqrt(((r_icm.x[:, :2] - r_win.x[:, :2]) ** 2).sum(1)).mean()
+    assert d < 0.05, d
+    assert r_icm.map_pos.shape == r_win.map_pos.shape
+
+
+def test_windowed_ba_reduces_global_energy(ijac):
+    import jax.numpy as jnp
+    from icm_slam_tpu.models.bundle_adjustment import BAProblem, energy
+    from icm_slam_tpu.models.windowed_ba import _solve_windows
+    from icm_slam_tpu.solver.icm import _filter_jit, _init_jit, prepare, seed_map
+
+    ds = ijac.slice(200)
+    cfg = ICMConfig(N=1, L=256, dtype="float32", ba_gn_iters=4, obs_cap=24)
+    data = prepare(ds, cfg)
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    st, x = _init_jit(data, seed_map(data, x0, cfg), x0, cfg)
+    cur = _filter_jit(st, cfg)
+    w = weights(cfg)
+    labels, fmap, matched = batched_associate(data, cur, x, cfg)
+    L = cur.pos.shape[0]
+    prob = BAProblem(data, labels,
+                     ((labels < L) & data.mask).astype(x.dtype),
+                     fmap.counts, fmap.counts > 0)
+    from icm_slam_tpu.solver.sweeps import compact_obs
+    obs = compact_obs(data, matched, 24)
+    e0 = float(energy(x, fmap.pos, prob, w))
+    x1 = _solve_windows(data, obs, x, 0, 64, ds.T - 1, cfg, w)
+    x2 = _solve_windows(data, obs, x1, 32, 64, ds.T - 1, cfg, w)
+    assert float(energy(x2, fmap.pos, prob, w)) < e0
