@@ -29,6 +29,8 @@ def _add_common(ap):
     ap.add_argument("--checkpoint-dir", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--quiet", action="store_true")
+    ap.add_argument("--plot", default=None, metavar="DIR",
+                    help="save trajectory/convergence PNGs to DIR")
 
 
 def _build(args):
@@ -59,6 +61,15 @@ def _save(args, res, ds):
         np.savez_compressed(args.out, x=res.x, x_init=res.x_init,
                             map_pos=res.map_pos, map_counts=res.map_counts,
                             changes=res.changes)
+    if args.plot:
+        import os
+        from icm_slam_tpu.utils.viz import plot_convergence, plot_slam
+        os.makedirs(args.plot, exist_ok=True)
+        plot_slam(res.x, res.map_pos, odom=ds.odom,
+                  path=os.path.join(args.plot, "slam.png"),
+                  title=f"{ds.name}: trajectory + {res.map_pos.shape[0]} landmarks")
+        plot_convergence(res.changes,
+                         path=os.path.join(args.plot, "convergence.png"))
     if not args.quiet:
         from icm_slam_tpu.utils.metrics import ate
         summary = {

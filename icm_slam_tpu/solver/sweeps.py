@@ -84,6 +84,8 @@ def _causal_step(data: SweepData, config, w):
     quirk = config.replicate_new_obs_quirk
     model = _model_of(config)
 
+    cap = config.obs_cap or 0
+
     def step(carry, inp):
         state, xt = carry
         dist_t, mask_t, u_prev, odo_prev, odo_cur = inp
@@ -93,9 +95,24 @@ def _causal_step(data: SweepData, config, w):
         new_state, labels = update(state, state.pos, state.nact, pts,
                                    mask_t, dist_thr, quirk)
         matched = new_state.pos[jnp.clip(labels, 0, state.pos.shape[0] - 1)]
+        dist_p, ang_p, mask_p, matched_p = dist_t, data.ang, mask_t, matched
+        if cap:
+            # gather the few valid beams for the pose solve (exact when
+            # cap >= the frame's valid count — see auto_obs_cap).
+            # cumsum-scatter instead of argsort: sorts inside a scan body
+            # compile pathologically on TPU.
+            B = mask_t.shape[0]
+            rank = jnp.cumsum(mask_t) - 1
+            tgt = jnp.where(mask_t & (rank < cap), rank, cap)
+            order = jnp.zeros((cap + 1,), jnp.int32).at[tgt].set(
+                jnp.arange(B, dtype=jnp.int32))[:cap]
+            n_valid = jnp.sum(mask_t)
+            mask_p = jnp.arange(cap) < n_valid
+            dist_p, ang_p, matched_p = (dist_t[order], data.ang[order],
+                                        matched[order])
         z3 = jnp.zeros((3,), xt.dtype)
         prob = PoseProblem(
-            dist=dist_t, ang=data.ang, mask=mask_t, matched=matched,
+            dist=dist_p, ang=ang_p, mask=mask_p, matched=matched_p,
             x_prev=xt, u_prev=u_prev, odo_prev=odo_prev, odo_cur=odo_cur,
             x_next=z3, u_cur=jnp.zeros((2,), xt.dtype), odo_next=z3)
         x_opt = lm_minimize(
