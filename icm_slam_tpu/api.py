@@ -64,12 +64,19 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
 
 def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
                 start_iter: int, checkpoint_dir, logger) -> ICMResult:
+    import dataclasses
+
     import jax.numpy as jnp
     from icm_slam_tpu.core.energy import weights
     from icm_slam_tpu.mapping.landmark_map import MapState
     from icm_slam_tpu.solver.icm import (_refine_jit, map_change, prepare)
 
     data = prepare(dataset, config)
+    if config.obs_cap == 0 and config.sweep_mode in ("batched",
+                                                     "windowed_ba"):
+        from icm_slam_tpu.solver.sweeps import auto_obs_cap
+        config = dataclasses.replace(config,
+                                     obs_cap=auto_obs_cap(data.mask))
     dtype = data.dist.dtype
     L = config.L
     pos = jnp.zeros((L, 2), dtype).at[:state["map_pos"].shape[0]].set(
