@@ -26,11 +26,11 @@ TIME_AXIS = "t"
 
 
 def make_mesh(devices=None, n_devices=None) -> Mesh:
-    """1-D mesh over the time axis."""
+    """1-D mesh over the time axis (first ``n_devices`` of ``devices``)."""
     if devices is None:
         devices = jax.devices()
-        if n_devices is not None:
-            devices = devices[:n_devices]
+    if n_devices is not None:
+        devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (TIME_AXIS,))
 
 
