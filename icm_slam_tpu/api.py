@@ -67,7 +67,6 @@ def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
     import dataclasses
 
     import jax.numpy as jnp
-    from icm_slam_tpu.core.energy import weights
     from icm_slam_tpu.mapping.landmark_map import MapState
     from icm_slam_tpu.solver.icm import (_refine_jit, map_change, prepare)
 

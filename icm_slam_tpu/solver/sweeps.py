@@ -36,9 +36,8 @@ import jax.numpy as jnp
 from icm_slam_tpu.core.energy import (DEFAULT_MODEL, PoseProblem,
                                       one_sided_residuals,
                                       two_sided_residuals)
-from icm_slam_tpu.core.geometry import beams_to_world, unicycle_step
-from icm_slam_tpu.mapping.landmark_map import (MapState, allocate_new_labels,
-                                               associate, update)
+from icm_slam_tpu.core.geometry import beams_to_world
+from icm_slam_tpu.mapping.landmark_map import (MapState, associate, update)
 from icm_slam_tpu.solver.gauss_newton import lm_minimize
 
 

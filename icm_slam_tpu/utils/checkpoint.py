@@ -9,7 +9,7 @@ write enabling deterministic restart from the last completed iteration
 from __future__ import annotations
 
 import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
