@@ -71,8 +71,8 @@ def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
     from icm_slam_tpu.solver.icm import (_refine_jit, map_change, prepare)
 
     data = prepare(dataset, config)
-    if config.obs_cap == 0 and config.sweep_mode in ("batched",
-                                                     "windowed_ba"):
+    if config.obs_cap == 0 and config.sweep_mode in ("batched", "windowed_ba",
+                                                     "ba"):
         from icm_slam_tpu.solver.sweeps import auto_obs_cap
         config = dataclasses.replace(config,
                                      obs_cap=auto_obs_cap(data.mask))

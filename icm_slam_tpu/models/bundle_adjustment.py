@@ -42,23 +42,30 @@ from icm_slam_tpu.solver.sweeps import SweepData, batched_associate
 
 
 class BAProblem(NamedTuple):
+    """Fixed association + (optionally beam-compacted) observation arrays.
+
+    dist/ang/labels/obs_w are (T, K) with K = obs_cap (or B uncompacted);
+    compaction is exact when K >= the max per-frame valid-beam count.
+    """
     data: SweepData
-    labels: jnp.ndarray      # (T, B) int32 in [0, L]; L = discard
-    obs_w: jnp.ndarray       # (T, B) 0/1 observation weights
+    dist: jnp.ndarray        # (T, K) beam ranges feeding the obs term
+    ang: jnp.ndarray         # (T, K) beam angles
+    labels: jnp.ndarray      # (T, K) int32 in [0, L]; L = discard
+    obs_w: jnp.ndarray       # (T, K) 0/1 observation weights
     counts: jnp.ndarray      # (L,) per-landmark observation counts
     live: jnp.ndarray        # (L,) live-landmark mask (counts > 0)
 
 
 def _residuals(x, y, p: BAProblem, w):
-    """Stacked residuals: (obs (T,B,2), kin (T-1,3), odo (T-1,3))."""
+    """Stacked residuals: (obs (T,K,2), kin (T-1,3), odo (T-1,3))."""
     sqrt_r, sqrt_q, sqrt_odom, deltat = w
     data = p.data
     T = x.shape[0]
     L = y.shape[0]
 
     # observations: world points minus matched landmarks (linear in y)
-    pts = beams_to_world(x, data.dist, data.ang)             # (T, B, 2)
-    matched = y[jnp.clip(p.labels, 0, L - 1)]                # (T, B, 2)
+    pts = beams_to_world(x, p.dist, p.ang)                   # (T, K, 2)
+    matched = y[jnp.clip(p.labels, 0, L - 1)]                # (T, K, 2)
     r_obs = (pts - matched) * sqrt_q[None, None, :] * p.obs_w[..., None]
 
     # kinematic chain (one-sided form: the global MRF energy)
@@ -102,12 +109,20 @@ def ba_refine(data: SweepData, old_map: MapState, x, config, w,
     T = x.shape[0]
 
     labels, assoc_map, _ = batched_associate(data, old_map, x, config)
-    obs_w = ((labels < L) & data.mask).astype(x.dtype)
     counts = assoc_map.counts
     live = counts > 0
     y0 = assoc_map.pos  # segment means = exact minimizer of obs term given x
 
-    prob = BAProblem(data, labels, obs_w, counts, live)
+    # beam compaction (same exactness argument as solver.sweeps.compact_obs)
+    valid = (labels < L) & data.mask
+    cap = config.obs_cap if config.obs_cap else data.dist.shape[1]
+    order = jnp.argsort(~valid, axis=1, stable=True)[:, :cap]
+    dist_c = jnp.take_along_axis(data.dist, order, axis=1)
+    ang_c = data.ang[order]
+    lab_c = jnp.take_along_axis(labels, order, axis=1)
+    obs_w = jnp.take_along_axis(valid, order, axis=1).astype(x.dtype)
+
+    prob = BAProblem(data, dist_c, ang_c, lab_c, obs_w, counts, live)
     qdiag = sqrt_q * sqrt_q                                  # (2,)
     gauge = jnp.ones((T, 3), x.dtype).at[0].set(0.0)         # anchor pose 0
 

@@ -135,7 +135,7 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
 
     t0 = time.perf_counter()
     data = prepare(dataset, config)
-    if config.obs_cap == 0 and config.sweep_mode in ("batched", "windowed_ba"):
+    if config.obs_cap == 0 and config.sweep_mode in ("batched", "windowed_ba", "ba"):
         from icm_slam_tpu.solver.sweeps import auto_obs_cap
         config = dataclasses.replace(config,
                                      obs_cap=auto_obs_cap(data.mask))

@@ -169,48 +169,60 @@ def refine_sweep_sequential(data: SweepData, old_map: MapState, x, config, w
     state0, _ = update(state0, old_map.pos, old_map.nact, pts0, data.mask[0],
                        dist_thr, quirk)
 
-    def step(carry, t):
-        state, x_all, xt_run = carry
-        empty = ~jnp.any(data.mask[t])
-        last = t == T - 1
-
-        # --- map update with the stale pose of this frame ---
+    def _assoc_frame(state, x_all, t):
+        """Map update at frame t using its stale pose; returns matched."""
         pts = beams_to_world(x_all[t], data.dist[t], data.ang)
         new_state, labels = update(state, old_map.pos, old_map.nact, pts,
                                    data.mask[t], dist_thr, quirk)
         matched = new_state.pos[jnp.clip(labels, 0, L - 1)]
+        return new_state, matched
 
+    def step(carry, t):
+        state, x_all, xt_run = carry
+        empty = ~jnp.any(data.mask[t])
+
+        new_state, matched = _assoc_frame(state, x_all, t)
         x_prev = x_all[t - 1]                       # fresh (already updated)
-        x_next = x_all[jnp.minimum(t + 1, T - 1)]   # stale
+        x_next = x_all[t + 1]                       # stale
 
         # interior pose: symmetric two-sided cost, init at midpoint
         prob2 = PoseProblem(
             dist=data.dist[t], ang=data.ang, mask=data.mask[t],
             matched=matched, x_prev=x_prev, u_prev=data.u[t - 1],
             odo_prev=data.odom[t - 1], odo_cur=data.odom[t], x_next=x_next,
-            u_cur=data.u[jnp.minimum(t, T - 1)],
-            odo_next=data.odom[jnp.minimum(t + 1, T - 1)])
-        x_two = lm_minimize(
+            u_cur=data.u[t], odo_next=data.odom[t + 1])
+        x_opt = lm_minimize(
             lambda xx: two_sided_residuals(xx, prob2, w, model),
             (x_prev + x_next) / 2.0, iters=config.pose_gn_iters)
-        # last pose: one-sided cost, init at kinematic prediction
-        prob1 = _problem_one_sided(data, t, matched, x_prev)
-        x_one = lm_minimize(
-            lambda xx: one_sided_residuals(xx, prob1, w, model),
-            model.kinematics(x_prev, data.u[t - 1], config.deltat),
-            iters=config.pose_gn_iters)
 
-        x_opt = jnp.where(last, x_one, x_two)
         x_avg = (xt_run + x_next) / 2.0            # empty-frame path
         x_t = jnp.where(empty, x_avg, x_opt)
-
         state = jax.tree.map(lambda a, b: jnp.where(empty, a, b), state,
                              new_state)
         x_all = x_all.at[t].set(x_t)
         return (state, x_all, x_t), None
 
-    (state, x_all, _), _ = jax.lax.scan(step, (state0, x, x[0]),
-                                        jnp.arange(1, T))
+    # interior frames 1..T-2 in the sequential scan
+    (state, x_all, xt_run), _ = jax.lax.scan(step, (state0, x, x[0]),
+                                             jnp.arange(1, T - 1))
+
+    # final frame: one-sided cost (ICM_ROS.py:153-156), outside the scan so
+    # the scan body carries only the two-sided solver
+    t = T - 1
+    empty_last = ~jnp.any(data.mask[t])
+    new_state, matched = _assoc_frame(state, x_all, t)
+    x_prev = x_all[t - 1]
+    prob1 = _problem_one_sided(data, t, matched, x_prev)
+    x_one = lm_minimize(
+        lambda xx: one_sided_residuals(xx, prob1, w, model),
+        model.kinematics(x_prev, data.u[t - 1], config.deltat),
+        iters=config.pose_gn_iters)
+    # reference quirk: an empty LAST frame would index x[:, t+1] and crash
+    # (ICM_ROS.py:144); we dead-reckon from the running pose instead
+    x_t = jnp.where(empty_last, (xt_run + x_all[t]) / 2.0, x_one)
+    state = jax.tree.map(lambda a, b: jnp.where(empty_last, a, b), state,
+                         new_state)
+    x_all = x_all.at[t].set(x_t)
     return state, x_all
 
 

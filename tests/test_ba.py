@@ -26,7 +26,8 @@ def test_ba_energy_decreases():
 
     labels, amap, _ = batched_associate(data, seed, x, cfg)
     L = seed.pos.shape[0]
-    prob = BAProblem(data, labels, ((labels < L) & data.mask).astype(x.dtype),
+    prob = BAProblem(data, data.dist, jnp.broadcast_to(data.ang, data.dist.shape),
+                     labels, ((labels < L) & data.mask).astype(x.dtype),
                      amap.counts, amap.counts > 0)
     e0 = float(energy(x, amap.pos, prob, w))
 
@@ -99,7 +100,8 @@ def test_windowed_ba_reduces_global_energy(ijac):
     w = weights(cfg)
     labels, fmap, matched = batched_associate(data, cur, x, cfg)
     L = cur.pos.shape[0]
-    prob = BAProblem(data, labels,
+    prob = BAProblem(data, data.dist,
+                     jnp.broadcast_to(data.ang, data.dist.shape), labels,
                      ((labels < L) & data.mask).astype(x.dtype),
                      fmap.counts, fmap.counts > 0)
     from icm_slam_tpu.solver.sweeps import compact_obs
