@@ -1,0 +1,160 @@
+"""Loop-closure detection + pose-graph correction.
+
+Completes the pose-graph backend (models/pose_graph.py) into an end-to-end
+capability the reference lacks entirely: detect revisits from the lidar
+scans themselves, estimate the relative pose by point registration, and
+correct the trajectory with a pose-graph solve.
+
+Pipeline:
+  1. candidate pairs (host): frames far apart in time whose *estimated*
+     poses are near in space;
+  2. scan registration (device, vmapped over all candidates): 3-dof ICP —
+     fixed-iteration nearest-point association + Levenberg-Marquardt on the
+     SE(2) relative pose, masked fixed shapes throughout;
+  3. gating: accept closures with enough inlier beams and low residual;
+  4. pose-graph optimization: odometry chain edges + accepted closure edges
+     (matrix-free Gauss-Newton + PCG).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from icm_slam_tpu.core.geometry import wrap_angle
+from icm_slam_tpu.models.pose_graph import (from_trajectory, optimize,
+                                            relative_se2)
+from icm_slam_tpu.solver.gauss_newton import lm_minimize
+from icm_slam_tpu.solver.sweeps import SweepData
+
+
+class LoopClosures(NamedTuple):
+    pairs: np.ndarray     # (K, 2) frame indices (i, j)
+    rel: np.ndarray       # (K, 3) estimated pose of j in i's frame
+    inliers: np.ndarray   # (K,) inlier beam fraction
+    rms: np.ndarray       # (K,) inlier residual RMS [m]
+
+
+def _body_points(dist, ang, mask):
+    """(B, 2) body-frame points of one scan (beam convention incl. -pi/2)."""
+    a = ang - jnp.pi / 2.0
+    pts = dist[:, None] * jnp.stack([jnp.cos(a), jnp.sin(a)], axis=-1)
+    return pts, mask
+
+
+def icp_register(pts_i, mask_i, pts_j, mask_j, rel0, icp_iters=8,
+                 lm_iters=6, gate=1.0):
+    """Register scan j onto scan i. rel0: (3,) initial relative pose of j in
+    i's frame. Returns (rel (3,), inlier_fraction, inlier_rms)."""
+    B = pts_j.shape[0]
+
+    def transform(rel, p):
+        c, s = jnp.cos(rel[2]), jnp.sin(rel[2])
+        return jnp.stack([rel[0] + c * p[:, 0] - s * p[:, 1],
+                          rel[1] + s * p[:, 0] + c * p[:, 1]], axis=-1)
+
+    def nearest(q):
+        """For each transformed j-point: nearest i-point + distance."""
+        d = jnp.linalg.norm(q[:, None, :] - pts_i[None, :, :], axis=-1)
+        d = jnp.where(mask_i[None, :], d, jnp.inf)
+        return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
+
+    def icp_step(rel, _):
+        q = transform(rel, pts_j)
+        idx, dmin = nearest(q)
+        ok = mask_j & (dmin < gate) & jnp.isfinite(dmin)
+        target = pts_i[jnp.clip(idx, 0, pts_i.shape[0] - 1)]
+
+        def resid(r):
+            qq = transform(r, pts_j)
+            return ((qq - target) * ok[:, None]).reshape(-1)
+
+        rel = lm_minimize(resid, rel, iters=lm_iters)
+        return rel, None
+
+    rel, _ = jax.lax.scan(icp_step, rel0, None, length=icp_iters)
+    q = transform(rel, pts_j)
+    _, dmin = nearest(q)
+    ok = mask_j & (dmin < gate) & jnp.isfinite(dmin)
+    n_ok = jnp.sum(ok)
+    frac = n_ok / jnp.maximum(jnp.sum(mask_j), 1)
+    rms = jnp.sqrt(jnp.sum(jnp.where(ok, dmin ** 2, 0.0))
+                   / jnp.maximum(n_ok, 1))
+    return rel, frac, rms
+
+
+def detect(data: SweepData, x, min_gap: int = 150, radius: float = 2.0,
+           max_pairs: int = 64, min_inliers: float = 0.5,
+           max_rms: float = 0.25, min_beams: int = 5) -> LoopClosures:
+    """Find and verify loop closures on the current trajectory estimate."""
+    xs = np.asarray(x)
+    mask = np.asarray(data.mask)
+    n_valid = mask.sum(1)
+    T = xs.shape[0]
+
+    # --- host-side candidate selection (greedy, spatially thinned) ---------
+    cands = []
+    taken = np.zeros(T, bool)
+    order = np.arange(0, T, 5)
+    for i in order:
+        if n_valid[i] < min_beams:
+            continue
+        d = np.linalg.norm(xs[:, :2] - xs[i, :2], axis=1)
+        js = np.where((np.arange(T) > i + min_gap) & (d < radius)
+                      & (n_valid >= min_beams))[0]
+        if js.size and not taken[i]:
+            j = int(js[np.argmin(d[js])])
+            cands.append((i, j))
+            taken[max(0, i - 20):i + 20] = True
+        if len(cands) >= max_pairs:
+            break
+    if not cands:
+        empty = np.zeros((0,))
+        return LoopClosures(np.zeros((0, 2), int), np.zeros((0, 3)),
+                            empty, empty)
+
+    pairs = np.asarray(cands, np.int32)
+
+    # --- device-side batched ICP -------------------------------------------
+    ii = jnp.asarray(pairs[:, 0])
+    jj = jnp.asarray(pairs[:, 1])
+    pts_all, _ = jax.vmap(
+        lambda d, m: _body_points(d, data.ang, m))(data.dist, data.mask)
+    rel0 = relative_se2(x[ii], x[jj])
+
+    @jax.jit
+    def register_all(pts_all, mask_all, rel0):
+        return jax.vmap(
+            lambda i, j, r0: icp_register(pts_all[i], mask_all[i],
+                                          pts_all[j], mask_all[j], r0)
+        )(ii, jj, rel0)
+
+    rel, frac, rms = register_all(pts_all, data.mask, rel0)
+    rel, frac, rms = np.asarray(rel), np.asarray(frac), np.asarray(rms)
+    keep = (frac >= min_inliers) & (rms <= max_rms)
+    return LoopClosures(pairs[keep], rel[keep], frac[keep], rms[keep])
+
+
+def close_loops(data: SweepData, x, config, closures: Optional[LoopClosures]
+                = None, odo_weight: float = 5.0, loop_weight: float = 20.0,
+                gn_iters: int = 10, cg_iters: int = 200,
+                **detect_kw) -> Tuple[jnp.ndarray, LoopClosures]:
+    """Detect closures (unless given) and pose-graph-correct the trajectory.
+
+    Chain edges use the raw odometry's relative motions as measurements;
+    closure edges use the ICP-estimated relatives.  Returns (x_corrected,
+    closures)."""
+    if closures is None:
+        closures = detect(data, x, **detect_kw)
+    odo = data.odom
+    odom_rel = relative_se2(odo[:-1], odo[1:])
+    if closures.pairs.shape[0] == 0:
+        return x, closures
+    g = from_trajectory(x, odom_rel_noise=odom_rel,
+                        loop_pairs=closures.pairs,
+                        loop_rel=jnp.asarray(closures.rel, x.dtype),
+                        odo_weight=odo_weight, loop_weight=loop_weight)
+    x_opt, _ = optimize(g, gn_iters=gn_iters, cg_iters=cg_iters)
+    return x_opt, closures
