@@ -1,0 +1,73 @@
+"""Long-trajectory stress benchmark: synthetic worlds far beyond the
+reference's 1833 frames, single chip.
+
+    python benchmarks/stress_long.py [--frames 20000] [--landmarks 300]
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=20000)
+    ap.add_argument("--landmarks", type=int, default=300)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+    import json
+
+    import jax.numpy as jnp
+    from icm_slam_tpu.config import ICMConfig
+    from icm_slam_tpu.data.datasets import synthetic_world
+    from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit, _refine_jit,
+                                         prepare, seed_map)
+    from icm_slam_tpu.solver.sweeps import auto_obs_cap
+
+    t0 = time.perf_counter()
+    ds = synthetic_world(T=args.frames, n_landmarks=args.landmarks,
+                         world_size=120.0, seed=0)
+    gen_s = time.perf_counter() - t0
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    cfg = ICMConfig(N=args.iters, L=1024, cota=50.0, dtype="float32",
+                    use_pallas_assoc=on_tpu)
+    data = prepare(ds, cfg)
+    cfg = dataclasses.replace(cfg, obs_cap=auto_obs_cap(data.mask))
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    seed = seed_map(data, x0, cfg)
+
+    t0 = time.perf_counter()
+    state, x = _init_jit(data, seed, x0, cfg)
+    jax.block_until_ready(x)
+    init_s = time.perf_counter() - t0
+    cur = _filter_jit(state, cfg)
+
+    m, xx = _refine_jit(data, cur, x, cfg)  # warmup/compile
+    jax.block_until_ready(xx)
+    t0 = time.perf_counter()
+    m, xx = cur, x
+    for _ in range(args.iters):
+        m, xx = _refine_jit(data, m, xx, cfg)
+    jax.block_until_ready(xx)
+    refine_s = (time.perf_counter() - t0) / args.iters
+
+    print(json.dumps({
+        "frames": args.frames, "landmarks_world": args.landmarks,
+        "landmarks_mapped": int(m.nact),
+        "gen_s": round(gen_s, 1), "init_s": round(init_s, 2),
+        "refine_ms_per_iter": round(refine_s * 1e3, 1),
+        "refine_frames_per_s": round(args.frames / refine_s, 0),
+    }))
+
+
+if __name__ == "__main__":
+    main()

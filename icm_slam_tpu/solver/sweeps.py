@@ -281,22 +281,29 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
     # --- running-mean map via cumulative segment sums -----------------------
     w = (lab < L).astype(dtype)                               # (T, B)
 
-    # per-frame segment sums, then inclusive cumsum over frames
-    def frame_sums(p, l, wi):
-        s = jax.ops.segment_sum(p * wi[:, None], l, num_segments=L + 1)[:L]
+    # per-frame segment sums as SEPARATE x/y (T, L) planes: a trailing
+    # size-2 axis would land on the 128-lane dimension and pad 64x
+    # (f32[T,1024,2]{T(8,128)} cost ~10 GB at T=20k before this split)
+    def frame_sums(px, py, l, wi):
+        sx = jax.ops.segment_sum(px * wi, l, num_segments=L + 1)[:L]
+        sy = jax.ops.segment_sum(py * wi, l, num_segments=L + 1)[:L]
         c = jax.ops.segment_sum(wi, l, num_segments=L + 1)[:L]
-        return s, c
+        return sx, sy, c
 
-    sums, cnts = jax.vmap(frame_sums)(pts, lab, w)            # (T,L,2),(T,L)
-    cum_sums = jnp.cumsum(sums, axis=0)
-    cum_cnts = jnp.cumsum(cnts, axis=0)
-    y_run = cum_sums / jnp.maximum(cum_cnts, 1.0)[..., None]  # (T, L, 2)
+    sx, sy, cnts = jax.vmap(frame_sums)(pts[..., 0], pts[..., 1], lab, w)
+    cum_cnt = jnp.cumsum(cnts, axis=0)                        # (T, L)
+    denom = jnp.maximum(cum_cnt, 1.0)
+    run_x = jnp.cumsum(sx, axis=0) / denom
+    run_y = jnp.cumsum(sy, axis=0) / denom
 
-    matched = jax.vmap(
-        lambda yr, l: yr[jnp.clip(l, 0, L - 1)])(y_run, lab)  # (T, B, 2)
+    lab_c = jnp.clip(lab, 0, L - 1)
+    mx = jnp.take_along_axis(run_x, lab_c, axis=1)            # (T, B)
+    my = jnp.take_along_axis(run_y, lab_c, axis=1)
+    matched = jnp.stack([mx, my], axis=-1)                    # (T, B, 2)
 
-    final = MapState(y_run[-1] * (cum_cnts[-1] > 0)[:, None],
-                     cum_cnts[-1], old_map.nact + n_new)
+    live_last = cum_cnt[-1] > 0
+    final_pos = jnp.stack([run_x[-1], run_y[-1]], axis=-1) * live_last[:, None]
+    final = MapState(final_pos, cum_cnt[-1], old_map.nact + n_new)
     return lab, final, matched
 
 
