@@ -31,6 +31,13 @@ def _add_common(ap):
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--plot", default=None, metavar="DIR",
                     help="save trajectory/convergence PNGs to DIR")
+    ap.add_argument("--loop-close", action="store_true",
+                    help="detect loop closures (scan ICP) and pose-graph "
+                         "correct the refined trajectory")
+    ap.add_argument("--export-map", default=None, metavar="PGM",
+                    help="write the landmark map as an occupancy-grid PGM")
+    ap.add_argument("--export-tum", default=None, metavar="TXT",
+                    help="write the trajectory in TUM format")
 
 
 def _build(args):
@@ -87,6 +94,23 @@ def cmd_run(args):
     res = run_offline(ds, cfg, checkpoint_dir=args.checkpoint_dir,
                       resume=args.resume, log_path=args.log,
                       verbose=not args.quiet)
+    if args.loop_close:
+        import jax.numpy as jnp
+        import numpy as np
+        from icm_slam_tpu.models.loop_closure import close_loops
+        from icm_slam_tpu.solver.icm import prepare
+        data = prepare(ds, cfg)
+        x_fix, cl = close_loops(data, jnp.asarray(res.x, data.dist.dtype),
+                                cfg)
+        res.x = np.asarray(x_fix)
+        if not args.quiet:
+            print(f"# loop closures accepted: {cl.pairs.shape[0]}")
+    if args.export_map:
+        from icm_slam_tpu.utils.export import save_map_pgm
+        save_map_pgm(args.export_map, res.map_pos, trajectory=res.x)
+    if args.export_tum:
+        from icm_slam_tpu.utils.export import save_trajectory_tum
+        save_trajectory_tum(args.export_tum, res.x, deltat=cfg.deltat)
     _save(args, res, ds)
 
 
