@@ -129,6 +129,64 @@ def two_sided_residuals(x, p: PoseProblem, w,
     return jnp.concatenate(parts)
 
 
+def one_sided_jacobian(x, p: PoseProblem, w):
+    """Analytic Jacobian of one_sided_residuals wrt x (rows in the same
+    stacking order). Valid for the DEFAULT model only (unicycle kinematics,
+    unscaled h, no extra residuals); solvers fall back to jacfwd otherwise.
+
+    Derivatives: the kinematic term is identity in x (wrap has unit slope);
+    each observation row depends on (x, y) identically and on theta through
+    the beam direction; the odometry xy-block is the constant -R(theta_prev)
+    and its heading row is -1.
+    """
+    sqrt_r, sqrt_q, sqrt_odom, _ = w
+    B = p.dist.shape[0]
+    dtype = x.dtype
+
+    j_kin = jnp.diag(sqrt_r)
+
+    a = p.ang + x[2] - jnp.pi / 2.0
+    dsin = p.dist * jnp.sin(a)
+    dcos = p.dist * jnp.cos(a)
+    zeros = jnp.zeros((B,), dtype)
+    ones = jnp.ones((B,), dtype)
+    m = p.mask.astype(dtype)
+    # rows interleave (r_x, r_y) per beam: obs residuals reshape to (-1)
+    jx = jnp.stack([ones, zeros, -dsin], axis=1) * (sqrt_q[0] * m)[:, None]
+    jy = jnp.stack([zeros, ones, dcos], axis=1) * (sqrt_q[1] * m)[:, None]
+    j_obs = jnp.stack([jx, jy], axis=1).reshape(2 * B, 3)
+
+    c, s = jnp.cos(p.x_prev[2]), jnp.sin(p.x_prev[2])
+    j_odo = sqrt_odom * jnp.asarray(
+        [[-c, -s, 0.0], [s, -c, 0.0], [0.0, 0.0, -1.0]], dtype)
+
+    return jnp.concatenate([j_kin, j_obs, j_odo], axis=0)
+
+
+def two_sided_jacobian(x, p: PoseProblem, w):
+    """Analytic Jacobian of two_sided_residuals (forward + backward rows)."""
+    sqrt_r, sqrt_q, sqrt_odom, deltat = w
+    dtype = x.dtype
+    v = p.u_cur[0]
+    c, s = jnp.cos(x[2]), jnp.sin(x[2])
+
+    # forward kinematic: d g(x,u)/dx = I + dt*[[0,0,-v s],[0,0,v c],[0,0,0]]
+    j_kinf = sqrt_r[:, None] * jnp.asarray(
+        [[1.0, 0.0, 0.0], [0.0, 1.0, 0.0], [0.0, 0.0, 1.0]], dtype
+    ).at[0, 2].set(-deltat * v * s).at[1, 2].set(deltat * v * c)
+
+    # forward odometry: rxy = meas - R(th)(xn - x); R = [[c,s],[-s,c]]
+    dxy = p.x_next[:2] - x[:2]
+    # d/dx_xy (-R d) = +R; d/dth = -R' d, R' = [[-s,c],[-c,-s]]
+    dRd = jnp.asarray([-s * dxy[0] + c * dxy[1],
+                       -c * dxy[0] - s * dxy[1]], dtype)
+    j_odof = sqrt_odom * jnp.asarray(
+        [[c, s, -dRd[0]], [-s, c, -dRd[1]], [0.0, 0.0, 1.0]], dtype)
+
+    j_back = one_sided_jacobian(x, p, (sqrt_r, sqrt_q, sqrt_odom, deltat))
+    return jnp.concatenate([j_kinf, j_odof, j_back], axis=0)
+
+
 def weights(config):
     """Precompute sqrt weights tuple from an ICMConfig."""
     dtype = jnp.dtype(config.dtype)

@@ -13,15 +13,18 @@ import jax.numpy as jnp
 
 
 def lm_minimize(resid_fn, x0, iters=12, lam0=1e-4, lam_down=0.25,
-                lam_up=8.0):
+                lam_up=8.0, jac_fn=None):
     """Minimize sum(resid_fn(x)**2) over x (n,) with adaptive damping.
 
     resid_fn: x -> (m,) residual vector.  Fixed ``iters`` LM steps
     (Marquardt diagonal scaling) with accept/reject via jnp.where —
     compiles to a single fused loop, vmappable over batches of problems.
+    jac_fn: optional analytic Jacobian x -> (m, n); default jacfwd.
     """
     n = x0.shape[0]
     eye = jnp.eye(n, dtype=x0.dtype)
+    if jac_fn is None:
+        jac_fn = jax.jacfwd(resid_fn)
 
     def f(x):
         r = resid_fn(x)
@@ -30,7 +33,7 @@ def lm_minimize(resid_fn, x0, iters=12, lam0=1e-4, lam_down=0.25,
     def step(carry, _):
         x, lam, fx = carry
         r = resid_fn(x)
-        J = jax.jacfwd(resid_fn)(x)
+        J = jac_fn(x)
         g = J.T @ r
         H = J.T @ J
         damp = jnp.diag(jnp.maximum(jnp.diag(H), 1e-12))

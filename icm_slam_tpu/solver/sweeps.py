@@ -34,7 +34,9 @@ import jax
 import jax.numpy as jnp
 
 from icm_slam_tpu.core.energy import (DEFAULT_MODEL, PoseProblem,
+                                      one_sided_jacobian,
                                       one_sided_residuals,
+                                      two_sided_jacobian,
                                       two_sided_residuals)
 from icm_slam_tpu.core.geometry import beams_to_world
 from icm_slam_tpu.mapping.landmark_map import (MapState, associate, update)
@@ -44,6 +46,18 @@ from icm_slam_tpu.solver.gauss_newton import lm_minimize
 def _model_of(config):
     """Resolve the (possibly user-supplied) EnergyModel for a config."""
     return config.model if config.model is not None else DEFAULT_MODEL
+
+
+def _jacs_of(config):
+    """Jacobian choice for the LM solves.
+
+    Analytic Jacobians (core.energy.one/two_sided_jacobian) are exact and
+    validated, but MEASURED SLOWER than jacfwd on TPU: XLA evaluates the
+    3-tangent JVP batch in one fused pass, while the hand-built J stacks
+    many small ops per LM step (70.9 vs 66.0 ms/iter on the full sweep).
+    jacfwd (None) is therefore the default; flip here to experiment.
+    """
+    return None, None
 
 
 class SweepData(NamedTuple):
@@ -82,6 +96,7 @@ def _causal_step(data: SweepData, config, w):
     dist_thr = config.dist_thr
     quirk = config.replicate_new_obs_quirk
     model = _model_of(config)
+    jac1, _ = _jacs_of(config)
 
     cap = config.obs_cap or 0
 
@@ -116,7 +131,9 @@ def _causal_step(data: SweepData, config, w):
             x_next=z3, u_cur=jnp.zeros((2,), xt.dtype), odo_next=z3)
         x_opt = lm_minimize(
             lambda x: one_sided_residuals(x, prob, w, model), xtc,
-            iters=config.pose_gn_iters)
+            iters=config.pose_gn_iters,
+            jac_fn=None if jac1 is None else
+            (lambda x: jac1(x, prob, w)))
         x_new = jnp.where(empty, xtc, x_opt)
         return (new_state, x_new), x_new
 
@@ -160,6 +177,7 @@ def refine_sweep_sequential(data: SweepData, old_map: MapState, x, config, w
     dist_thr = config.dist_thr
     quirk = config.replicate_new_obs_quirk
     model = _model_of(config)
+    jac1, jac2 = _jacs_of(config)
     dtype = x.dtype
 
     state0 = MapState(jnp.zeros((L, 2), dtype), jnp.zeros((L,), dtype),
@@ -193,7 +211,9 @@ def refine_sweep_sequential(data: SweepData, old_map: MapState, x, config, w
             u_cur=data.u[t], odo_next=data.odom[t + 1])
         x_opt = lm_minimize(
             lambda xx: two_sided_residuals(xx, prob2, w, model),
-            (x_prev + x_next) / 2.0, iters=config.pose_gn_iters)
+            (x_prev + x_next) / 2.0, iters=config.pose_gn_iters,
+            jac_fn=None if jac2 is None else
+            (lambda xx: jac2(xx, prob2, w)))
 
         x_avg = (xt_run + x_next) / 2.0            # empty-frame path
         x_t = jnp.where(empty, x_avg, x_opt)
@@ -216,7 +236,8 @@ def refine_sweep_sequential(data: SweepData, old_map: MapState, x, config, w
     x_one = lm_minimize(
         lambda xx: one_sided_residuals(xx, prob1, w, model),
         model.kinematics(x_prev, data.u[t - 1], config.deltat),
-        iters=config.pose_gn_iters)
+        iters=config.pose_gn_iters,
+        jac_fn=None if jac1 is None else (lambda xx: jac1(xx, prob1, w)))
     # reference quirk: an empty LAST frame would index x[:, t+1] and crash
     # (ICM_ROS.py:144); we dead-reckon from the running pose instead
     x_t = jnp.where(empty_last, (xt_run + x_all[t]) / 2.0, x_one)
@@ -337,6 +358,7 @@ def _solve_two_at(data: SweepData, x, obs, config, w, ts):
     ``obs`` = (dist, ang, mask, matched), each (T, cap...)-shaped."""
     T = x.shape[0]
     model = _model_of(config)
+    _, jac2 = _jacs_of(config)
     dist_c, ang_c, mask_c, matched_c = obs
 
     def solve(t):
@@ -350,7 +372,9 @@ def _solve_two_at(data: SweepData, x, obs, config, w, ts):
         x_init = (x[tm1] + x[tp1]) / 2.0
         return lm_minimize(
             lambda xx: two_sided_residuals(xx, prob, w, model),
-            x_init, iters=config.pose_gn_iters)
+            x_init, iters=config.pose_gn_iters,
+            jac_fn=None if jac2 is None else
+            (lambda xx: jac2(xx, prob, w)))
 
     return jax.vmap(solve)(ts)
 
@@ -358,6 +382,7 @@ def _solve_two_at(data: SweepData, x, obs, config, w, ts):
 def _solve_one_at(data: SweepData, x, obs, config, w, t):
     """One-sided LM solve at frame ``t`` (the trajectory's last frame)."""
     model = _model_of(config)
+    jac1, _ = _jacs_of(config)
     dist_c, ang_c, mask_c, matched_c = obs
     tm1 = jnp.maximum(t - 1, 0)
     z3 = jnp.zeros((3,), x.dtype)
@@ -369,7 +394,8 @@ def _solve_one_at(data: SweepData, x, obs, config, w, t):
     x_init = model.kinematics(x[tm1], data.u[tm1], config.deltat)
     return lm_minimize(
         lambda xx: one_sided_residuals(xx, prob, w, model),
-        x_init, iters=config.pose_gn_iters)
+        x_init, iters=config.pose_gn_iters,
+        jac_fn=None if jac1 is None else (lambda xx: jac1(xx, prob, w)))
 
 
 def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,

@@ -102,3 +102,23 @@ def test_lm_exact_on_quadratic():
     np.testing.assert_allclose(np.asarray(x),
                                np.linalg.solve(np.asarray(A), np.asarray(b)),
                                atol=1e-8)
+
+
+def test_analytic_jacobians_match_jacfwd():
+    """core.energy one/two_sided_jacobian vs autodiff (exactness check)."""
+    import jax
+    import jax.numpy as jnp
+    from icm_slam_tpu.core.energy import (one_sided_jacobian,
+                                          two_sided_jacobian)
+    rng = np.random.default_rng(11)
+    cfg = ICMConfig()
+    w = weights(cfg)
+    for _ in range(5):
+        _, _, prob, *_ = _random_problem(rng)
+        x = jnp.asarray(rng.normal(size=3))
+        Jf1 = jax.jacfwd(lambda xx: one_sided_residuals(xx, prob, w))(x)
+        np.testing.assert_allclose(np.asarray(one_sided_jacobian(x, prob, w)),
+                                   np.asarray(Jf1), atol=1e-12)
+        Jf2 = jax.jacfwd(lambda xx: two_sided_residuals(xx, prob, w))(x)
+        np.testing.assert_allclose(np.asarray(two_sided_jacobian(x, prob, w)),
+                                   np.asarray(Jf2), atol=1e-12)
