@@ -55,6 +55,11 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
             logger.log("iteration", k=k, landmarks=int(cur_map.nact))
 
     result = run(dataset, config, verbose=verbose, callback=cb)
+    if checkpoint_dir:
+        # persist the iteration-0 trajectory once so a resumed run can
+        # still report corrections against it
+        np.savez_compressed(os.path.join(checkpoint_dir, "x_init.npz"),
+                            x_init=result.x_init)
     if logger:
         logger.log("done", landmarks=result.map_pos.shape[0],
                    timings=result.timings,
@@ -84,7 +89,14 @@ def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
         jnp.asarray(state["map_counts"], dtype))
     cur_map = MapState(pos, counts, jnp.asarray(int(state["nact"]), jnp.int32))
     x = jnp.asarray(state["x"], dtype)
-    x_init = state.get("x_init", np.asarray(x))
+    x_init = state.get("x_init")
+    if x_init is None and checkpoint_dir:
+        init_path = os.path.join(checkpoint_dir, "x_init.npz")
+        if os.path.exists(init_path):
+            with np.load(init_path) as z:
+                x_init = z["x_init"]
+    if x_init is None:
+        x_init = np.asarray(x)
 
     changes = []
     import time as _time

@@ -64,9 +64,8 @@ class ICMConfig:
     # The reference's subclass hooks g_/h_/fun_x_/fun_xn_ (example.py:13-35)
     model: Optional[Any] = None
 
-    @property
-    def Tf(self) -> Optional[int]:
-        return getattr(self, "_Tf", None)
+    # NOTE: the reference's ConfigICM.set_Tf (ICM_SLAM.py:101-102) recorded
+    # the trajectory length post-hoc; here T always derives from the data.
 
     @staticmethod
     def from_yaml(path: str, **overrides) -> "ICMConfig":
