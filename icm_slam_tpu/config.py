@@ -56,6 +56,11 @@ class ICMConfig:
                                      # the dataset's max valid-beam count —
                                      # solver.sweeps.auto_obs_cap — for an
                                      # exact but much cheaper solve)
+    map_run_cap: int = 256           # running-mean table width for OLD
+                                     # landmarks in the batched sweep
+                                     # (0 = full L); run() disables it when
+                                     # the provable live-landmark bound
+                                     # (total_obs / cota) exceeds it
     ba_gn_iters: int = 6             # outer GN steps per BA refinement
     ba_cg_iters: int = 60            # PCG iterations per GN step (BA mode)
     ba_window: int = 64              # keyframe block size (windowed_ba mode)

@@ -139,6 +139,13 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
         from icm_slam_tpu.solver.sweeps import auto_obs_cap
         config = dataclasses.replace(config,
                                      obs_cap=auto_obs_cap(data.mask))
+    if config.map_run_cap:
+        # fast running-mean path requires every OLD landmark id < cap;
+        # live landmarks are bounded by total_obs / cota (each needs >= cota
+        # observations to survive the filter)
+        live_bound = float(np.asarray(data.mask.sum())) / max(config.cota, 1.0)
+        if live_bound + 1 >= config.map_run_cap:
+            config = dataclasses.replace(config, map_run_cap=0)
     x0 = jnp.asarray(dataset.x0, data.dist.dtype)
     seed = seed_map(data, x0, config)
     jax.block_until_ready(seed)

@@ -283,6 +283,63 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
         new_id = old_map.nact + jnp.cumsum(has_far) - 1
         lab = jnp.where(far, new_id[:, None], lab)
         n_new = jnp.sum(has_far).astype(jnp.int32)
+
+        cap_l = config.map_run_cap
+        if cap_l and cap_l < L:
+            # Fast running-mean path. A NEW landmark only ever receives
+            # observations from its creating frame (association runs against
+            # the frozen old map; one new label per frame), so its running
+            # mean IS the frame's far-obs mean — no (T, L) machinery needed.
+            # Old labels are < nact0, which run() guarantees to be < cap_l
+            # (bound: live landmarks <= total_obs / cota).
+            w = (lab < L).astype(dtype)
+            far_w = (far & data.mask).astype(dtype)          # (T, B)
+            fcnt = jnp.sum(far_w, axis=1)                    # (T,)
+            fmean = jnp.stack(
+                [jnp.sum(pts[..., 0] * far_w, axis=1),
+                 jnp.sum(pts[..., 1] * far_w, axis=1)], axis=-1) \
+                / jnp.maximum(fcnt, 1.0)[:, None]            # (T, 2)
+
+            lab_old = jnp.where(far | (lab >= cap_l), cap_l, lab)
+
+            def frame_sums_small(px, py, l, wi):
+                sx = jax.ops.segment_sum(px * wi, l,
+                                         num_segments=cap_l + 1)[:cap_l]
+                sy = jax.ops.segment_sum(py * wi, l,
+                                         num_segments=cap_l + 1)[:cap_l]
+                c = jax.ops.segment_sum(wi, l,
+                                        num_segments=cap_l + 1)[:cap_l]
+                return sx, sy, c
+
+            sx, sy, cnts = jax.vmap(frame_sums_small)(
+                pts[..., 0], pts[..., 1], lab_old, w)        # (T, cap_l)
+            cum_cnt = jnp.cumsum(cnts, axis=0)
+            denom = jnp.maximum(cum_cnt, 1.0)
+            run_x = jnp.cumsum(sx, axis=0) / denom
+            run_y = jnp.cumsum(sy, axis=0) / denom
+
+            lab_c = jnp.clip(lab, 0, cap_l - 1)
+            mx = jnp.take_along_axis(run_x, lab_c, axis=1)
+            my = jnp.take_along_axis(run_y, lab_c, axis=1)
+            matched = jnp.stack([mx, my], axis=-1)           # (T, B, 2)
+            matched = jnp.where(far[..., None],
+                                fmean[:, None, :], matched)
+
+            # final table: old columns from the cumulative sums, new
+            # columns scattered from the per-frame far means
+            live_last = cum_cnt[-1] > 0
+            pos = jnp.zeros((L, 2), dtype)
+            pos = pos.at[:cap_l].set(
+                jnp.stack([run_x[-1], run_y[-1]], axis=-1)
+                * live_last[:, None])
+            counts_f = jnp.zeros((L,), dtype).at[:cap_l].set(cum_cnt[-1])
+            scatter_id = jnp.where(has_far, new_id, L)
+            pos = pos.at[jnp.clip(scatter_id, 0, L)].set(
+                fmean, mode="drop")
+            counts_f = counts_f.at[jnp.clip(scatter_id, 0, L)].set(
+                fcnt, mode="drop")
+            final = MapState(pos, counts_f, old_map.nact + n_new)
+            return lab, final, matched
     else:
         from icm_slam_tpu.mapping.landmark_map import (
             compact_labels, connected_component_labels)
