@@ -10,6 +10,12 @@ The XLA path materializes the (T, B, L) distance tensor in HBM
 through VMEM and keeps a running (min, argmin) over L-chunks, so HBM traffic
 drops to the inputs plus two (T, B) outputs.
 
+MEASURED REALITY (see CLAUDE.md "measurement traps"): inside the full
+refinement jit the kernel and the XLA path are equal (62.5 vs 63.1 ms/iter
+end-to-end) — XLA's own fusion already avoids materializing the distances
+at these sizes.  The kernel is kept as the explicit-control variant and for
+larger L, where the fused-XLA window may not hold.
+
 Hardware notes (learned on the axon remote-TPU runtime):
   * no in-kernel reshape of the (TILE_T, B, 2) block — merging sublane dims
     forces a Mosaic relayout that blows the 16 MB scoped-VMEM budget;
