@@ -24,6 +24,10 @@ def main():
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--passes", type=int, default=2,
+                    help="red-black half-pass pairs per sweep")
+    ap.add_argument("--gn-iters", type=int, default=8,
+                    help="LM iterations per pose solve")
     args = ap.parse_args()
 
     import jax
@@ -43,7 +47,8 @@ def main():
     T = ds.T
     on_tpu = jax.devices()[0].platform != "cpu"
     cfg = ICMConfig(N=args.iters, L=1024, sweep_mode=args.mode,
-                    dtype="float32", use_pallas_assoc=on_tpu)
+                    dtype="float32", use_pallas_assoc=on_tpu,
+                    pose_passes=args.passes, pose_gn_iters=args.gn_iters)
 
     data = prepare(ds, cfg)
     if cfg.sweep_mode == "batched":

@@ -22,7 +22,8 @@ def _add_common(ap):
     ap.add_argument("--iters", type=int, default=None, help="override N")
     ap.add_argument("--frames", type=int, default=0, help="truncate frames")
     ap.add_argument("--mode", default=None,
-                    choices=["sequential", "batched"], help="sweep mode")
+                    choices=["sequential", "batched", "ba", "windowed_ba"],
+                    help="sweep mode")
     ap.add_argument("--cpu", action="store_true", help="force CPU backend")
     ap.add_argument("--out", default=None, help="write result .npz here")
     ap.add_argument("--log", default=None, help="JSON-lines metrics path")
@@ -124,8 +125,11 @@ def cmd_replay(args):
 
 
 def cmd_bench(args):
+    import os
     import subprocess
-    cmd = [sys.executable, "bench.py"] + args.rest
+    bench = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", "bench.py")
+    cmd = [sys.executable, bench] + args.rest
     raise SystemExit(subprocess.call(cmd))
 
 

@@ -46,7 +46,7 @@ class ICMConfig:
     topic_odometry_msg: str = "nav_msgs/Odometry"
 
     # --- engine knobs (new; not in the reference) ---
-    sweep_mode: str = "batched"      # "sequential" | "batched"
+    sweep_mode: str = "batched"      # sequential | batched | ba | windowed_ba
     pose_gn_iters: int = 8           # LM iterations per pose solve
     pose_passes: int = 2             # red-black half-pass pairs per batched sweep
     replicate_new_obs_quirk: bool = True  # ICM_SLAM.py:176 empty-slice quirk

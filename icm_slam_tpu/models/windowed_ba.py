@@ -24,7 +24,7 @@ import jax.numpy as jnp
 from icm_slam_tpu.core.geometry import rot2, unicycle_step, wrap_angle
 from icm_slam_tpu.mapping.landmark_map import MapState
 from icm_slam_tpu.solver.sweeps import (SweepData, batched_associate,
-                                        compact_obs)
+                                        compact_data)
 
 
 def _chain_residuals(xa, xb, u_a, odo_a, odo_b, w):
@@ -136,9 +136,15 @@ def windowed_ba_refine(data: SweepData, old_map: MapState, x, config, w,
     T = x.shape[0]
     if last_t is None:
         last_t = T - 1
-    lab, final_map, matched = batched_associate(data, old_map, x, config)
+    # compact beams before association (see solver.sweeps.compact_data)
     cap = config.obs_cap if config.obs_cap else data.dist.shape[1]
-    obs = compact_obs(data, matched, cap)
+    if cap < data.dist.shape[1]:
+        data_c = compact_data(data, cap)
+    else:
+        data_c = data._replace(ang=jnp.broadcast_to(data.ang,
+                                                    data.dist.shape))
+    _, final_map, matched = batched_associate(data_c, old_map, x, config)
+    obs = (data_c.dist, data_c.ang, data_c.mask, matched)
     x = _solve_windows(data, obs, x, 0, window, last_t, config, w)
     x = _solve_windows(data, obs, x, window // 2, window, last_t, config, w)
     # empty frames follow the reference's neighbor average

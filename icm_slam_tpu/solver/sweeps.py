@@ -102,15 +102,15 @@ def _causal_step(data: SweepData, config, w):
 
     def step(carry, inp):
         state, xt = carry
-        dist_t, mask_t, u_prev, odo_prev, odo_cur = inp
+        dist_t, mask_t, ang_t, u_prev, odo_prev, odo_cur = inp
         xtc = model.kinematics(xt, u_prev, config.deltat)
         empty = ~jnp.any(mask_t)
-        pts = beams_to_world(xtc, dist_t, data.ang)
+        pts = beams_to_world(xtc, dist_t, ang_t)
         new_state, labels = update(state, state.pos, state.nact, pts,
                                    mask_t, dist_thr, quirk)
         matched = new_state.pos[jnp.clip(labels, 0, state.pos.shape[0] - 1)]
-        dist_p, ang_p, mask_p, matched_p = dist_t, data.ang, mask_t, matched
-        if cap:
+        dist_p, ang_p, mask_p, matched_p = dist_t, ang_t, mask_t, matched
+        if cap and cap < mask_t.shape[0]:
             # gather the few valid beams for the pose solve (exact when
             # cap >= the frame's valid count — see auto_obs_cap).
             # cumsum-scatter instead of argsort: sorts inside a scan body
@@ -122,7 +122,7 @@ def _causal_step(data: SweepData, config, w):
                 jnp.arange(B, dtype=jnp.int32))[:cap]
             n_valid = jnp.sum(mask_t)
             mask_p = jnp.arange(cap) < n_valid
-            dist_p, ang_p, matched_p = (dist_t[order], data.ang[order],
+            dist_p, ang_p, matched_p = (dist_t[order], ang_t[order],
                                         matched[order])
         z3 = jnp.zeros((3,), xt.dtype)
         prob = PoseProblem(
@@ -146,7 +146,9 @@ def init_chunk(data: SweepData, state: MapState, xt, config, w, t_offset=1
     (state, xt). Returns (state, last pose, poses for those frames)."""
     step = _causal_step(data, config, w)
     T = data.dist.shape[0]
-    inputs = (data.dist[t_offset:], data.mask[t_offset:],
+    ang = (data.ang if data.ang.ndim == 2
+           else jnp.broadcast_to(data.ang, data.dist.shape))
+    inputs = (data.dist[t_offset:], data.mask[t_offset:], ang[t_offset:],
               data.u[t_offset - 1:T - 1], data.odom[t_offset - 1:T - 1],
               data.odom[t_offset:])
     (state, xt), xs = jax.lax.scan(step, (state, xt), inputs)
@@ -160,6 +162,11 @@ def init_sweep(data: SweepData, seed: MapState, x0, config, w
     ``seed`` is the map after frame 0 (host-side first-frame clustering,
     ICM_SLAM.py:160-165). Returns (map_state, poses (T,3)).
     """
+    cap = config.obs_cap or 0
+    if cap and cap < data.dist.shape[1]:
+        # per-frame association inside the scan drops from (181, L) to
+        # (cap, L) distances — exact, see compact_data
+        data = compact_data(data, cap)
     state, _, xs = init_chunk(data, seed, x0, config, w, t_offset=1)
     x = jnp.concatenate([x0[None, :], xs], axis=0)
     return state, x
@@ -256,25 +263,39 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
 
     Returns (labels (T,B) int32 in [0, L] with L = discard,
              map_after (MapState), matched (T,B,2) running-mean values).
+
+    The distance search only scans the first ``map_run_cap`` reference
+    columns when that cap is active: run() guarantees the frozen map's live
+    count stays below it (live landmarks <= total_obs / cota), so the
+    remaining L - cap columns are provably dead and can't win the argmin.
     """
     T, B = data.dist.shape
     L = old_map.pos.shape[0]
     dist_thr = config.dist_thr
     dtype = x.dtype
 
+    Lr = L
+    if config.map_run_cap and config.map_run_cap < L:
+        Lr = config.map_run_cap
+    ref_pos = old_map.pos[:Lr]
+
     pts = beams_to_world(x, data.dist, data.ang)            # (T, B, 2)
 
-    if config.use_pallas_assoc and L % 256 == 0:
+    if config.use_pallas_assoc and Lr % 256 == 0:
         from icm_slam_tpu.ops.assoc_pallas import nearest_landmark
-        nearest_lab, min_dist = nearest_landmark(pts, old_map.pos,
+        nearest_lab, min_dist = nearest_landmark(pts, ref_pos,
                                                  old_map.nact)
         lab = jnp.where(min_dist > dist_thr, -1, nearest_lab)
         lab = jnp.where(data.mask, lab, L)                   # (T, B)
     else:
-        ref_live = jnp.arange(L) < old_map.nact
+        ref_live = jnp.arange(Lr) < old_map.nact
         lab, _ = jax.vmap(
-            lambda p, m: associate(old_map.pos, ref_live, p, m, dist_thr)
+            lambda p, m: associate(ref_pos, ref_live, p, m, dist_thr)
         )(pts, data.mask)                                    # (T, B)
+        if Lr < L:
+            # associate() marks masked-out beams with its own column count;
+            # restore the full-table discard sentinel
+            lab = jnp.where(lab == Lr, L, lab)
 
     far = lab == -1
     if config.replicate_new_obs_quirk:
@@ -385,6 +406,25 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
     return lab, final, matched
 
 
+def compact_data(data: SweepData, cap: int) -> SweepData:
+    """Compact each frame's valid beams to the front BEFORE association.
+
+    The compaction order depends only on the (static) validity mask, so
+    running association on the compacted beams is exact when ``cap`` >= the
+    dataset's max per-frame valid count (auto_obs_cap): dropped beams are all
+    masked-out, i.e. they would get the discard label and zero weight in
+    every downstream sum.  Cuts the (T, B, L) distance search and the
+    per-frame segment sums from B=181 beams to ~cap=24.
+    The returned ``ang`` is per-frame (T, cap); beams_to_world broadcasts.
+    """
+    order = jnp.argsort(~data.mask, axis=1, stable=True)[:, :cap]   # (T,cap)
+    return SweepData(
+        dist=jnp.take_along_axis(data.dist, order, axis=1),
+        mask=jnp.take_along_axis(data.mask, order, axis=1),
+        ang=data.ang[order],
+        odom=data.odom, u=data.u)
+
+
 def compact_obs(data: SweepData, matched, cap: int):
     """Gather each frame's valid beams to the front and truncate to ``cap``.
 
@@ -469,9 +509,16 @@ def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,
         last_t = T - 1
     empty = ~jnp.any(data.mask, axis=1)                       # (T,)
 
-    lab, final_map, matched = batched_associate(data, old_map, x, config)
+    # compact beams BEFORE association: the whole sweep — distance search,
+    # running-mean sums, pose solves — then runs on ~cap beams, not B=181
     cap = config.obs_cap if config.obs_cap else data.dist.shape[1]
-    obs = compact_obs(data, matched, cap)
+    if cap < data.dist.shape[1]:
+        data_c = compact_data(data, cap)
+    else:
+        data_c = data._replace(ang=jnp.broadcast_to(data.ang,
+                                                    data.dist.shape))
+    _, final_map, matched = batched_associate(data_c, old_map, x, config)
+    obs = (data_c.dist, data_c.ang, data_c.mask, matched)
 
     def half_pass(x, parity):
         start = 1 if parity == 1 else 2
