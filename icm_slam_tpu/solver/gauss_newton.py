@@ -46,6 +46,9 @@ def lm_minimize(resid_fn, x0, iters=12, lam0=1e-4, lam_down=0.25,
         lam = jnp.where(better, lam * lam_down, lam * lam_up)
         return (x, lam, fx), None
 
+    # NOTE: unroll=True was measured a net loss — the fused sweep jit's
+    # compile blows up (CPU suite 245 s -> >420 s; remote TPU compile
+    # minutes) for no observed step-time win; keep the rolled scan.
     (x, _, _), _ = jax.lax.scan(
         step, (x0, jnp.asarray(lam0, x0.dtype), f(x0)), None, length=iters)
     return x

@@ -110,3 +110,40 @@ def test_windowed_ba_reduces_global_energy(ijac):
     x1 = _solve_windows(data, obs, x, 0, 64, ds.T - 1, cfg, w)
     x2 = _solve_windows(data, obs, x1, 32, 64, ds.T - 1, cfg, w)
     assert float(energy(x2, fmap.pos, prob, w)) < e0
+
+
+def test_compact_data_association_equivalence(ijac):
+    """batched_associate on compact_data'd inputs == full-width inputs.
+
+    The beam compaction reorders each frame's valid beams to the front; the
+    final map, live count, and the matched running-mean value of every valid
+    beam must be unchanged (solver.sweeps.compact_data exactness contract).
+    """
+    import jax.numpy as jnp
+    from icm_slam_tpu.solver.icm import _filter_jit, _init_jit, prepare, seed_map
+    from icm_slam_tpu.solver.sweeps import auto_obs_cap, compact_data
+
+    ds = ijac.slice(250)
+    cfg = ICMConfig(N=1, L=256, dtype="float32")
+    data = prepare(ds, cfg)
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    st, x = _init_jit(data, seed_map(data, x0, cfg), x0, cfg)
+    cur = _filter_jit(st, cfg)
+
+    cap = auto_obs_cap(data.mask)
+    data_c = compact_data(data, cap)
+    _, map_full, matched_full = batched_associate(data, cur, x, cfg)
+    _, map_comp, matched_comp = batched_associate(data_c, cur, x, cfg)
+
+    assert int(map_full.nact) == int(map_comp.nact)
+    np.testing.assert_allclose(np.asarray(map_full.pos),
+                               np.asarray(map_comp.pos), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(map_full.counts),
+                               np.asarray(map_comp.counts), atol=1e-5)
+
+    # matched values at valid beams match after applying the same gather
+    order = np.argsort(~np.asarray(data.mask), axis=1, kind="stable")[:, :cap]
+    mf = np.take_along_axis(np.asarray(matched_full), order[..., None], axis=1)
+    mask_c = np.asarray(data_c.mask)
+    np.testing.assert_allclose(mf[mask_c], np.asarray(matched_comp)[mask_c],
+                               atol=1e-5)
