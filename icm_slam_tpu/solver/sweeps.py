@@ -133,7 +133,7 @@ def _causal_step(data: SweepData, config, w):
             lambda x: one_sided_residuals(x, prob, w, model), xtc,
             iters=config.pose_gn_iters,
             jac_fn=None if jac1 is None else
-            (lambda x: jac1(x, prob, w)))
+            (lambda x: jac1(x, prob, w)), closed_form=False)
         x_new = jnp.where(empty, xtc, x_opt)
         return (new_state, x_new), x_new
 
@@ -220,7 +220,7 @@ def refine_sweep_sequential(data: SweepData, old_map: MapState, x, config, w
             lambda xx: two_sided_residuals(xx, prob2, w, model),
             (x_prev + x_next) / 2.0, iters=config.pose_gn_iters,
             jac_fn=None if jac2 is None else
-            (lambda xx: jac2(xx, prob2, w)))
+            (lambda xx: jac2(xx, prob2, w)), closed_form=False)
 
         x_avg = (xt_run + x_next) / 2.0            # empty-frame path
         x_t = jnp.where(empty, x_avg, x_opt)
@@ -244,7 +244,8 @@ def refine_sweep_sequential(data: SweepData, old_map: MapState, x, config, w
         lambda xx: one_sided_residuals(xx, prob1, w, model),
         model.kinematics(x_prev, data.u[t - 1], config.deltat),
         iters=config.pose_gn_iters,
-        jac_fn=None if jac1 is None else (lambda xx: jac1(xx, prob1, w)))
+        jac_fn=None if jac1 is None else (lambda xx: jac1(xx, prob1, w)),
+        closed_form=False)
     # reference quirk: an empty LAST frame would index x[:, t+1] and crash
     # (ICM_ROS.py:144); we dead-reckon from the running pose instead
     x_t = jnp.where(empty_last, (xt_run + x_all[t]) / 2.0, x_one)
