@@ -22,15 +22,14 @@ def main():
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    import dataclasses
     import json
 
     import jax.numpy as jnp
     from icm_slam_tpu.config import ICMConfig
     from icm_slam_tpu.data.datasets import synthetic_world
     from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit, _refine_jit,
-                                         prepare, seed_map)
-    from icm_slam_tpu.solver.sweeps import auto_obs_cap
+                                         check_table_overflow, prepare,
+                                         resolve_config, seed_map)
 
     t0 = time.perf_counter()
     ds = synthetic_world(T=args.frames, n_landmarks=args.landmarks,
@@ -41,7 +40,10 @@ def main():
     cfg = ICMConfig(N=args.iters, L=1024, cota=50.0, dtype="float32",
                     use_pallas_assoc=on_tpu)
     data = prepare(ds, cfg)
-    cfg = dataclasses.replace(cfg, obs_cap=auto_obs_cap(data.mask))
+    # resolves obs_cap and DISABLES map_run_cap when the live-landmark
+    # bound exceeds it (the 300-landmark world would otherwise silently
+    # truncate the association search)
+    cfg = resolve_config(cfg, data)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)
     seed = seed_map(data, x0, cfg)
 
@@ -49,16 +51,21 @@ def main():
     state, x = _init_jit(data, seed, x0, cfg)
     jax.block_until_ready(x)
     init_s = time.perf_counter() - t0
+    check_table_overflow(state.nact, cfg.L, "init sweep")
     cur = _filter_jit(state, cfg)
 
-    m, xx = _refine_jit(data, cur, x, cfg)  # warmup/compile
+    m, xx, _ = _refine_jit(data, cur, x, cfg)  # warmup/compile
     jax.block_until_ready(xx)
     t0 = time.perf_counter()
     m, xx = cur, x
+    raw_nacts = []
     for _ in range(args.iters):
-        m, xx = _refine_jit(data, m, xx, cfg)
+        m, xx, rn = _refine_jit(data, m, xx, cfg)
+        raw_nacts.append(rn)
     jax.block_until_ready(xx)
     refine_s = (time.perf_counter() - t0) / args.iters
+    for k, rn in enumerate(raw_nacts):
+        check_table_overflow(rn, cfg.L, f"refinement sweep {k}")
 
     print(json.dumps({
         "frames": args.frames, "landmarks_world": args.landmarks,

@@ -54,12 +54,17 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
         if logger:
             logger.log("iteration", k=k, landmarks=int(cur_map.nact))
 
-    result = run(dataset, config, verbose=verbose, callback=cb)
-    if checkpoint_dir:
-        # persist the iteration-0 trajectory once so a resumed run can
-        # still report corrections against it
-        np.savez_compressed(os.path.join(checkpoint_dir, "x_init.npz"),
-                            x_init=result.x_init)
+    def on_init(x_init):
+        # persist the iteration-0 trajectory IMMEDIATELY (before any
+        # refinement): a resume after a mid-run crash — the primary
+        # checkpoint scenario — must still report corrections against it
+        if checkpoint_dir:
+            os.makedirs(checkpoint_dir, exist_ok=True)
+            np.savez_compressed(os.path.join(checkpoint_dir, "x_init.npz"),
+                                x_init=x_init)
+
+    result = run(dataset, config, verbose=verbose, callback=cb,
+                 on_init=on_init)
     if logger:
         logger.log("done", landmarks=result.map_pos.shape[0],
                    timings=result.timings,
@@ -69,18 +74,13 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
 
 def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
                 start_iter: int, checkpoint_dir, logger) -> ICMResult:
-    import dataclasses
-
     import jax.numpy as jnp
     from icm_slam_tpu.mapping.landmark_map import MapState
-    from icm_slam_tpu.solver.icm import (_refine_jit, map_change, prepare)
+    from icm_slam_tpu.solver.icm import (_refine_jit, check_table_overflow,
+                                         map_change, prepare, resolve_config)
 
     data = prepare(dataset, config)
-    if config.obs_cap == 0 and config.sweep_mode in ("batched", "windowed_ba",
-                                                     "ba"):
-        from icm_slam_tpu.solver.sweeps import auto_obs_cap
-        config = dataclasses.replace(config,
-                                     obs_cap=auto_obs_cap(data.mask))
+    config = resolve_config(config, data)
     dtype = data.dist.dtype
     L = config.L
     pos = jnp.zeros((L, 2), dtype).at[:state["map_pos"].shape[0]].set(
@@ -103,7 +103,8 @@ def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
     t0 = _time.perf_counter()
     for k in range(start_iter, config.N):
         prev = cur_map
-        cur_map, x = _refine_jit(data, prev, x, config)
+        cur_map, x, raw_nact = _refine_jit(data, prev, x, config)
+        check_table_overflow(raw_nact, config.L, f"refinement sweep {k}")
         changes.append([float(c) for c in map_change(cur_map, prev)])
         if checkpoint_dir:
             nact = int(cur_map.nact)

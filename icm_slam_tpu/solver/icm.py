@@ -55,6 +55,61 @@ class ICMResult:
     timings: dict
 
 
+def resolve_config(config: ICMConfig, data) -> ICMConfig:
+    """Apply the data-dependent config resolution + safety guards.
+
+    Every driver that feeds ``data`` into the batched sweeps (run(), resume,
+    bench.py, benchmarks/, the online engine) must pass its config through
+    here — the batched paths have two exactness PRECONDITIONS that depend on
+    the dataset:
+
+    * beam compaction is exact only when ``obs_cap`` >= the dataset's max
+      per-frame valid-beam count (solver.sweeps.compact_data). obs_cap == 0
+      resolves to that bound automatically; a user-supplied smaller value is
+      an error (it would silently drop real observations).
+    * the fast running-mean path of batched_associate only searches the
+      first ``map_run_cap`` landmark columns; that is exact only while the
+      frozen map's live count stays below the cap.  Live landmarks are
+      bounded by total_obs / cota (each needs >= cota observations to
+      survive filtering), so the cap is disabled whenever that bound
+      reaches it.
+    """
+    if config.sweep_mode in ("batched", "windowed_ba", "ba"):
+        from icm_slam_tpu.solver.sweeps import auto_obs_cap
+        cap_needed = auto_obs_cap(data.mask)
+        if config.obs_cap == 0:
+            config = dataclasses.replace(config, obs_cap=cap_needed)
+        elif config.obs_cap < cap_needed:
+            raise ValueError(
+                f"obs_cap={config.obs_cap} is below this dataset's max "
+                f"per-frame valid-beam count ({cap_needed}); beam "
+                f"compaction would silently drop real observations. "
+                f"Use obs_cap=0 (auto) or >= {cap_needed}.")
+    if config.map_run_cap:
+        live_bound = float(np.asarray(data.mask.sum())) / max(config.cota, 1.0)
+        if live_bound + 1 >= config.map_run_cap:
+            config = dataclasses.replace(config, map_run_cap=0)
+    return config
+
+
+def check_table_overflow(raw_nact, L: int, where: str = "sweep") -> None:
+    """Raise if a sweep allocated labels past the landmark table capacity.
+
+    ``raw_nact`` is the PRE-filter live count returned by the sweep (old
+    count + newly allocated labels).  Labels >= L alias the discard slot —
+    their observations are silently dropped (mapping.landmark_map
+    allocate_new_labels / solver.sweeps.batched_associate) — so a raw count
+    past L means the run is corrupt, not just full.
+    """
+    n = int(raw_nact)
+    if n > L:
+        raise RuntimeError(
+            f"landmark table overflow in {where}: {n} labels allocated "
+            f"but the table holds L={L}. Observations past the capacity "
+            f"were silently discarded; rerun with a larger config.L "
+            f"(or a higher cota / dist_thr to create fewer landmarks).")
+
+
 def prepare(dataset: Dataset, config: ICMConfig, dtype=None) -> SweepData:
     """Preprocess + batch-filter the whole dataset into fixed-shape arrays."""
     dtype = dtype or jnp.dtype(config.dtype)
@@ -90,6 +145,12 @@ def _init_jit(data, seed, x0, config):
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _refine_jit(data, old_map, x, config):
+    """One ICM refinement iteration + map filtering.
+
+    Returns (filtered map, poses, raw pre-filter live count).  The raw
+    count is the overflow witness: > L means labels aliased the discard
+    slot during the sweep (see check_table_overflow).
+    """
     w = weights(config)
     if config.sweep_mode == "sequential":
         state, x = refine_sweep_sequential(data, old_map, x, config, w)
@@ -105,7 +166,7 @@ def _refine_jit(data, old_map, x, config):
     else:
         state, x = refine_sweep_batched(data, old_map, x, config, w)
     filtered = filter_map(state, config.cota, config.dist_thr)
-    return filtered, x
+    return filtered, x, state.nact
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -128,24 +189,19 @@ def map_change(new_map: MapState, old_map: MapState):
 
 
 def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
-        verbose: bool = False, callback=None) -> ICMResult:
-    """Full pipeline: init + N ICM iterations."""
+        verbose: bool = False, callback=None, on_init=None) -> ICMResult:
+    """Full pipeline: init + N ICM iterations.
+
+    ``on_init(x_init)`` fires right after the init sweep (before any
+    refinement) so callers can persist the iteration-0 trajectory even if
+    the refinement loop later crashes.
+    """
     n_iters = config.N if n_iters is None else n_iters
     timings = {}
 
     t0 = time.perf_counter()
     data = prepare(dataset, config)
-    if config.obs_cap == 0 and config.sweep_mode in ("batched", "windowed_ba", "ba"):
-        from icm_slam_tpu.solver.sweeps import auto_obs_cap
-        config = dataclasses.replace(config,
-                                     obs_cap=auto_obs_cap(data.mask))
-    if config.map_run_cap:
-        # fast running-mean path requires every OLD landmark id < cap;
-        # live landmarks are bounded by total_obs / cota (each needs >= cota
-        # observations to survive the filter)
-        live_bound = float(np.asarray(data.mask.sum())) / max(config.cota, 1.0)
-        if live_bound + 1 >= config.map_run_cap:
-            config = dataclasses.replace(config, map_run_cap=0)
+    config = resolve_config(config, data)
     x0 = jnp.asarray(dataset.x0, data.dist.dtype)
     seed = seed_map(data, x0, config)
     jax.block_until_ready(seed)
@@ -156,15 +212,20 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
     cur_map = _filter_jit(state, config)
     jax.block_until_ready(x)
     timings["init_s"] = time.perf_counter() - t0
+    check_table_overflow(state.nact, config.L, "init sweep")
     x_init = np.asarray(x)
+    if on_init is not None:
+        on_init(x_init)
 
     changes = []
+    raw_nacts = []
     t0 = time.perf_counter()
     for k in range(n_iters):
         prev_map = cur_map
-        cur_map, x = _refine_jit(data, prev_map, x, config)
-        # device-side metric; host sync deferred to the end of the loop
+        cur_map, x, raw_nact = _refine_jit(data, prev_map, x, config)
+        # device-side metrics; host sync deferred to the end of the loop
         changes.append(map_change(cur_map, prev_map))
+        raw_nacts.append(raw_nact)
         if callback is not None:
             callback(k, cur_map, x)
         if verbose:
@@ -176,6 +237,8 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
     jax.block_until_ready(x)
     timings["refine_s"] = time.perf_counter() - t0
     timings["refine_per_iter_s"] = timings["refine_s"] / max(n_iters, 1)
+    for k, rn in enumerate(raw_nacts):
+        check_table_overflow(rn, config.L, f"refinement sweep {k}")
 
     nact = int(cur_map.nact)
     return ICMResult(

@@ -252,6 +252,12 @@ def refine_sweep_sequential(data: SweepData, old_map: MapState, x, config, w
     state = jax.tree.map(lambda a, b: jnp.where(empty_last, a, b), state,
                          new_state)
     x_all = x_all.at[t].set(x_t)
+
+    # reference early return (ICM_ROS.py:133-135): an EMPTY frame 0 aborts
+    # the whole sweep and returns (mapa_viejo, x) untouched
+    empty0 = ~jnp.any(data.mask[0])
+    state = jax.tree.map(lambda a, b: jnp.where(empty0, a, b), old_map, state)
+    x_all = jnp.where(empty0, x, x_all)
     return state, x_all
 
 
@@ -531,7 +537,10 @@ def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,
             cand = cand.at[pos].set(
                 _solve_one_at(data, x, obs, config, w, last_t))
         tm1 = jnp.maximum(ts - 1, 0)
-        tp1 = jnp.minimum(ts + 1, T - 1)
+        # clamp the forward neighbour to the last REAL frame: on a padded
+        # time axis x[last_t + 1] is a zero pose and would pull an empty
+        # frame's average halfway toward the origin
+        tp1 = jnp.minimum(ts + 1, last_t)
         x_avg = (x[tm1] + x[tp1]) / 2.0
         cand = jnp.where(empty[ts][:, None], x_avg, cand)
         keep = (ts <= last_t)[:, None]

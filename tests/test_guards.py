@@ -1,0 +1,117 @@
+"""Guards against the silent-wrongness modes (VERDICT round-1 item 4).
+
+Three preconditions of the fast batched paths are now checked instead of
+assumed:
+
+* landmark-table overflow: labels >= L alias the discard slot
+  (mapping/landmark_map.allocate_new_labels, solver/sweeps
+  batched_associate) — run()/resume raise instead of dropping data;
+* a user obs_cap below the dataset's max per-frame valid-beam count makes
+  beam compaction drop real observations — resolve_config raises;
+* map_run_cap must stay above the provable live-landmark bound —
+  resolve_config disables it otherwise (every driver routes through it).
+"""
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from icm_slam_tpu.config import ICMConfig
+from icm_slam_tpu.data.datasets import synthetic_world
+from icm_slam_tpu.solver.icm import (check_table_overflow, prepare,
+                                     resolve_config, run)
+
+
+def test_obs_cap_below_dataset_max_raises():
+    ds = synthetic_world(T=60, n_landmarks=12, seed=1)
+    cfg = ICMConfig(N=1, L=64, cota=3.0, obs_cap=2)
+    data = prepare(ds, cfg)
+    with pytest.raises(ValueError, match="obs_cap"):
+        resolve_config(cfg, data)
+
+
+def test_obs_cap_auto_resolves():
+    ds = synthetic_world(T=60, n_landmarks=12, seed=1)
+    cfg = ICMConfig(N=1, L=64, cota=3.0, obs_cap=0)
+    data = prepare(ds, cfg)
+    out = resolve_config(cfg, data)
+    assert out.obs_cap >= int(np.asarray(data.mask.sum(axis=1)).max())
+
+
+def test_map_run_cap_disabled_when_bound_exceeds_it():
+    ds = synthetic_world(T=200, n_landmarks=30, seed=2)
+    cfg = ICMConfig(N=1, L=256, cota=1.0, map_run_cap=8)
+    data = prepare(ds, cfg)
+    out = resolve_config(cfg, data)
+    assert out.map_run_cap == 0
+    # a cap comfortably above the bound survives
+    cfg_hi = dataclasses.replace(cfg, cota=1e9, map_run_cap=8)
+    assert resolve_config(cfg_hi, data).map_run_cap == 8
+
+
+def test_check_table_overflow_raises():
+    with pytest.raises(RuntimeError, match="overflow"):
+        check_table_overflow(jnp.asarray(10, jnp.int32), 8, "test sweep")
+    check_table_overflow(jnp.asarray(8, jnp.int32), 8, "test sweep")  # ok
+
+
+def test_sequential_empty_frame0_returns_inputs_unchanged():
+    # reference early return (ICM_ROS.py:133-135): an empty frame 0 aborts
+    # the sweep and returns (mapa_viejo, x) untouched
+    from icm_slam_tpu.core.energy import weights
+    from icm_slam_tpu.solver.icm import seed_map
+    from icm_slam_tpu.solver.sweeps import refine_sweep_sequential
+
+    ds = synthetic_world(T=40, n_landmarks=10, seed=4)
+    cfg = ICMConfig(N=1, L=32, cota=2.0, sweep_mode="sequential")
+    data = prepare(ds, cfg)
+    data = data._replace(mask=data.mask.at[0].set(False))
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    old_map = seed_map(data._replace(mask=data.mask.at[0, :8].set(True)),
+                       x0, cfg)
+    x = jnp.asarray(ds.odom, data.dist.dtype)
+    state, x_out = refine_sweep_sequential(data, old_map, x, cfg,
+                                           weights(cfg))
+    np.testing.assert_array_equal(np.asarray(x_out), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(state.pos),
+                                  np.asarray(old_map.pos))
+    assert int(state.nact) == int(old_map.nact)
+
+
+def test_padded_empty_last_frame_not_pulled_to_origin():
+    # ADVICE round-1: on a padded time axis an empty last REAL frame must
+    # average with a clamped neighbour, never with the zero-padded pose
+    from icm_slam_tpu.core.energy import weights
+    from icm_slam_tpu.solver.icm import seed_map
+    from icm_slam_tpu.solver.sweeps import SweepData, refine_sweep_batched
+
+    ds = synthetic_world(T=41, n_landmarks=10, seed=5)
+    ds.odom[:, :2] += 10.0  # trajectory far from the origin
+    cfg = ICMConfig(N=1, L=32, cota=2.0, map_run_cap=0)
+    data = prepare(ds, cfg)
+    cfg = resolve_config(cfg, data)
+    last_t = data.dist.shape[0] - 1
+    data = data._replace(mask=data.mask.at[last_t].set(False))  # empty
+    pad = 7
+    padded = SweepData(
+        dist=jnp.pad(data.dist, [(0, pad), (0, 0)]),
+        mask=jnp.pad(data.mask, [(0, pad), (0, 0)]),
+        ang=data.ang, odom=jnp.pad(data.odom, [(0, pad), (0, 0)]),
+        u=jnp.pad(data.u, [(0, pad), (0, 0)]))
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    old_map = seed_map(data, x0, cfg)
+    x = jnp.pad(jnp.asarray(ds.odom, data.dist.dtype), [(0, pad), (0, 0)])
+    _, x_out = refine_sweep_batched(padded, old_map, x, cfg, weights(cfg),
+                                    last_t=last_t)
+    p = np.asarray(x_out)[last_t, :2]
+    assert np.linalg.norm(p - ds.odom[last_t, :2]) < 2.0, p
+
+
+def test_run_detects_table_overflow():
+    # a world with more spawned landmarks than the table holds: the init
+    # sweep allocates one label per far-obs frame, far past L=4
+    ds = synthetic_world(T=200, n_landmarks=30, world_size=15.0, seed=3)
+    cfg = ICMConfig(N=1, L=4, cota=2.0, map_run_cap=0)
+    with pytest.raises(RuntimeError, match="overflow"):
+        run(ds, cfg)
