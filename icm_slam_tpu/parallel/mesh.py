@@ -26,9 +26,15 @@ TIME_AXIS = "t"
 
 
 def make_mesh(devices=None, n_devices=None) -> Mesh:
-    """1-D mesh over the time axis (first ``n_devices`` of ``devices``)."""
+    """1-D mesh over the time axis (first ``n_devices`` of ``devices``).
+
+    Devices are ordered by (process_index, id) so that in a multi-process
+    job each process owns one CONTIGUOUS block of the time axis — the
+    layout `shard_sweep_inputs` builds its process-local shards against.
+    """
     if devices is None:
         devices = jax.devices()
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (TIME_AXIS,))
@@ -42,12 +48,47 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_time_sharded(mesh: Mesh, a):
+    """Place one (T, ...) array on the mesh, sharded along the time axis.
+
+    Single-controller: plain device_put.  Multi-process: each process
+    builds ONLY its own contiguous block of rows and hands it to
+    ``jax.make_array_from_process_local_data`` — device_put cannot address
+    remote devices, so this is the only correct multi-controller path.
+    Requires T divisible by the process count (shard_sweep_inputs pads to
+    the mesh size, which every process count divides).
+    """
+    ts = time_sharding(mesh)
+    nproc = jax.process_count()
+    if nproc == 1:
+        return jax.device_put(a, ts)
+    per = a.shape[0] // nproc
+    pid = jax.process_index()
+    local = np.ascontiguousarray(a[pid * per:(pid + 1) * per])
+    return jax.make_array_from_process_local_data(ts, local, a.shape)
+
+
+def put_replicated(mesh: Mesh, tree):
+    """Replicate a pytree onto every device of the mesh (multi-process
+    safe: every process must pass identical values)."""
+    rep = replicated(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(tree, rep)
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, rep, lambda idx: a[idx])
+
+    return jax.tree.map(put, tree)
+
+
 def shard_sweep_inputs(mesh: Mesh, data, x, pad_to=None):
     """Place SweepData + poses on the mesh: T-axis sharded, rest replicated.
 
     Pads T up to a multiple of the mesh size if needed (padded frames are
     all-masked -> empty frames, which the sweep treats as dead-reckoning;
-    callers slice the poses back).
+    callers slice the poses back).  Works single- and multi-controller
+    (see put_time_sharded).
     """
     from icm_slam_tpu.solver.sweeps import SweepData
     import jax.numpy as jnp
@@ -65,13 +106,12 @@ def shard_sweep_inputs(mesh: Mesh, data, x, pad_to=None):
             ang=data.ang, odom=pad_t(data.odom), u=pad_t(data.u))
         x = jnp.pad(x, [(0, pad), (0, 0)])
 
-    ts = time_sharding(mesh)
-    rep = replicated(mesh)
     data = SweepData(
-        dist=jax.device_put(data.dist, ts),
-        mask=jax.device_put(data.mask, ts),
-        ang=jax.device_put(data.ang, rep),
-        odom=jax.device_put(data.odom, ts),
-        u=jax.device_put(data.u, ts))
-    x = jax.device_put(x, ts)
+        dist=put_time_sharded(mesh, data.dist),
+        mask=put_time_sharded(mesh, data.mask),
+        ang=(put_replicated(mesh, data.ang) if data.ang.ndim == 1
+             else put_time_sharded(mesh, data.ang)),
+        odom=put_time_sharded(mesh, data.odom),
+        u=put_time_sharded(mesh, data.u))
+    x = put_time_sharded(mesh, x)
     return data, x, T
