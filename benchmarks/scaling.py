@@ -42,7 +42,8 @@ def main():
     from icm_slam_tpu.mapping.landmark_map import filter_map
     from icm_slam_tpu.parallel.mesh import (make_mesh, replicated,
                                             shard_sweep_inputs, time_sharding)
-    from icm_slam_tpu.solver.icm import _filter_jit, _init_jit, prepare, seed_map
+    from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit, prepare,
+                                         resolve_config, seed_map)
     from icm_slam_tpu.solver.sweeps import refine_sweep_batched
 
     ds = load_ijac2018("/root/reference/scripts/data_IJAC2018.mat")
@@ -52,14 +53,19 @@ def main():
     cfg = ICMConfig(N=1, L=1024, dtype="float32",
                     use_pallas_assoc=on_tpu)
     data = prepare(ds, cfg)
+    cfg = resolve_config(cfg, data)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)
     seed = seed_map(data, x0, cfg)
     state, x = _init_jit(data, seed, x0, cfg)
     cur = _filter_jit(state, cfg)
     w = weights(cfg)
-    base_ms = None
+    # efficiency is normalized to the SMALLEST measured mesh (its cost x its
+    # size); measure 1 device too if you want absolute efficiency
+    devices = sorted(set(args.devices))
+    base_cost = None
+    base_n = None
 
-    for n in args.devices:
+    for n in devices:
         if n > len(jax.devices()):
             print(json.dumps({"devices": n, "skipped": "not enough devices"}))
             continue
@@ -85,13 +91,15 @@ def main():
             fm, xo = step(data_s, cur_s, x_s)
         jax.block_until_ready(xo)
         ms = (time.perf_counter() - t0) / args.iters * 1e3
-        if base_ms is None:
-            base_ms = ms * n  # normalize so 1-device efficiency = 1
-        eff = (base_ms / n) / ms if ms > 0 else 0.0
+        if base_cost is None:
+            base_cost = ms * n
+            base_n = n
+        eff = base_cost / (ms * n) if ms > 0 else 0.0
         print(json.dumps({
             "devices": n, "refine_ms": round(ms, 2),
             "frames_per_s": round(true_T / (ms / 1e3), 1),
             "efficiency": round(eff, 3),
+            "efficiency_relative_to": base_n,
         }))
 
 

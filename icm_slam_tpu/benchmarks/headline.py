@@ -1,0 +1,150 @@
+"""Headline benchmark: ICM refinement throughput (frames/s per iteration).
+
+Prints ONE JSON line:
+  {"metric": "icm_refine_frames_per_s", "value": ..., "unit": "frames/s",
+   "vs_baseline": ...}
+
+Baseline (BASELINE.md): the reference Python pipeline refines at ~127
+frames/s per ICM iteration on one CPU core.  vs_baseline = ours / 127.
+
+Runs the production configuration (float32, batched red-black sweep,
+L=1024) on the full 1833-frame dataset; compile time excluded by warmup.
+Default knobs = the validated fast profile (1 red-black pair, 6 LM
+iterations: ATE 0.030 m vs the reference golden, landmark census 11/11 —
+tools/validate_golden.py); --passes 2 --gn-iters 8 is the conservative
+engine default (ATE 0.016 m).  The JSON line self-reports the benchmarked
+trajectory's ATE vs the golden trace.
+
+This module is the single source of truth; ``bench.py`` at the repo root
+(the driver's entry point) and ``icm-slam-tpu bench`` (installed package)
+both dispatch here.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+BASELINE_FPS = 127.0
+_GOLDEN = {
+    "ijac2018": "ijac2018_T1833_N30_inconsistent.npz",
+    "palomar": "palomar_T1833_N30_inconsistent.npz",
+}
+
+
+def _golden_path(dataset: str):
+    """tests/golden/ trace for the full-depth ATE self-check, if present."""
+    name = _GOLDEN.get(dataset)
+    if name is None:
+        return None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for root in (os.path.normpath(os.path.join(here, "..", "..")),
+                 os.getcwd()):
+        p = os.path.join(root, "tests", "golden", name)
+        if os.path.exists(p):
+            return p
+    return None
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="ijac2018",
+                    help="ijac2018 | palomar")
+    ap.add_argument("--mode", default="batched")
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--verbose", action="store_true")
+    ap.add_argument("--passes", type=int, default=1,
+                    help="red-black half-pass pairs per sweep (1 = the "
+                         "validated fast profile, ATE 0.030 m; 2 = the "
+                         "conservative engine default, ATE 0.016 m)")
+    ap.add_argument("--gn-iters", type=int, default=6,
+                    help="LM iterations per pose solve (6 fast / 8 default)")
+    ap.add_argument("--no-pallas", action="store_true",
+                    help="force the fused-XLA association path")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from icm_slam_tpu.config import ICMConfig
+    from icm_slam_tpu.data.datasets import load
+    from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit, _refine_jit,
+                                         prepare, resolve_config, seed_map)
+
+    ds = load(args.dataset)
+    if args.frames:
+        ds = ds.slice(args.frames)
+    T = ds.T
+    on_tpu = jax.devices()[0].platform != "cpu"
+    cfg = ICMConfig(N=args.iters, L=1024, sweep_mode=args.mode,
+                    dtype="float32",
+                    use_pallas_assoc=on_tpu and not args.no_pallas,
+                    pose_passes=args.passes, pose_gn_iters=args.gn_iters)
+
+    data = prepare(ds, cfg)
+    cfg = resolve_config(cfg, data)
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    seed = seed_map(data, x0, cfg)
+
+    # --- init sweep (iteration 0) ---
+    t0 = time.perf_counter()
+    state, x = _init_jit(data, seed, x0, cfg)
+    jax.block_until_ready(x)
+    init_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    state, x = _init_jit(data, seed, x0, cfg)
+    jax.block_until_ready(x)
+    init_s = time.perf_counter() - t0
+    cur_map = _filter_jit(state, cfg)
+
+    # --- refinement sweeps: warmup (compile) then timed loop ---
+    m_w, x_w, _ = _refine_jit(data, cur_map, x, cfg)
+    jax.block_until_ready(x_w)
+
+    t0 = time.perf_counter()
+    m, xx = cur_map, x
+    for _ in range(args.iters):
+        m, xx, _ = _refine_jit(data, m, xx, cfg)
+    jax.block_until_ready(xx)
+    refine_s = (time.perf_counter() - t0) / args.iters
+
+    fps = T / refine_s
+
+    # quality self-check: converge to the reference's N=30 (the timed loop
+    # above may stop earlier) and report ATE vs the golden trace from the
+    # bitwise-verified reference oracle (full dataset only)
+    ate = None
+    gp = None if args.frames else _golden_path(args.dataset)
+    if gp:
+        import numpy as np
+        for _ in range(max(0, 30 - args.iters)):
+            m, xx, _ = _refine_jit(data, m, xx, cfg)
+        gx = np.load(gp)["x"].T
+        xn = np.asarray(xx)
+        ate = float(np.mean(np.linalg.norm(xn[:, :2] - gx[:, :2], axis=1)))
+
+    if args.verbose:
+        print(f"# device={jax.devices()[0]} mode={args.mode} T={T} "
+              f"dataset={ds.name}", file=sys.stderr)
+        print(f"# init: {init_s:.3f}s ({T / init_s:.0f} f/s, compile "
+              f"{init_compile_s:.1f}s); refine: {refine_s * 1e3:.1f} ms/iter",
+              file=sys.stderr)
+    out = {
+        "metric": "icm_refine_frames_per_s",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 2),
+    }
+    if ate is not None:
+        out["ate_vs_reference_m_at_n30"] = round(ate, 4)
+    if args.dataset != "ijac2018":
+        out["dataset"] = args.dataset
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -125,11 +125,21 @@ def cmd_replay(args):
 
 
 def cmd_bench(args):
+    """Run the headline benchmark.
+
+    Works both from a source checkout (bench.py at the repo root) and from
+    an installed package (falls back to the bundled benchmark module).
+    """
     import os
     import subprocess
-    bench = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "..", "bench.py")
-    cmd = [sys.executable, bench] + args.rest
+    bench = os.path.normpath(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "..", "bench.py"))
+    if os.path.exists(bench):
+        cmd = [sys.executable, bench] + args.rest
+    else:
+        cmd = [sys.executable, "-m", "icm_slam_tpu.benchmarks.headline"] \
+            + args.rest
     raise SystemExit(subprocess.call(cmd))
 
 
