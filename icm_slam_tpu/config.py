@@ -47,6 +47,13 @@ class ICMConfig:
 
     # --- engine knobs (new; not in the reference) ---
     sweep_mode: str = "batched"      # sequential | batched | ba | windowed_ba
+    init_mode: str = "auto"          # auto | sequential | batched — iteration-0
+                                     # engine; auto = batched Picard rounds
+                                     # whenever the sweep is batched and the
+                                     # default kinematics/quirk apply, else
+                                     # the faithful sequential scan
+    init_rounds: int = 3             # Picard rounds per chunk (batched init)
+    init_chunk_len: int = 32         # frames per chunk of the batched init
     pose_gn_iters: int = 8           # LM iterations per pose solve
     pose_passes: int = 2             # red-black half-pass pairs per batched sweep
     replicate_new_obs_quirk: bool = True  # ICM_SLAM.py:176 empty-slice quirk

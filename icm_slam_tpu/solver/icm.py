@@ -138,8 +138,27 @@ def seed_map(data: SweepData, x0, config: ICMConfig) -> MapState:
     return seed_from_clusters(L, pts_valid, labels, data.dist.dtype)
 
 
+def use_batched_init(config: ICMConfig) -> bool:
+    """Iteration-0 engine choice (host-side, config-static).
+
+    The batched Picard init requires the default unicycle kinematics (its
+    dead-reckon fill encodes them) and the one-new-label-per-frame quirk;
+    outside those, or when the user pins ``init_mode="sequential"``, the
+    faithful causal scan runs instead.
+    """
+    if config.init_mode == "sequential":
+        return False
+    if config.init_mode == "batched":
+        return True
+    return (config.sweep_mode != "sequential"
+            and config.replicate_new_obs_quirk and config.model is None)
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _init_jit(data, seed, x0, config):
+    from icm_slam_tpu.solver.sweeps import init_sweep_batched
+    if use_batched_init(config):
+        return init_sweep_batched(data, seed, x0, config, weights(config))
     return init_sweep(data, seed, x0, config, weights(config))
 
 

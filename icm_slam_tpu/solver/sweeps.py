@@ -173,6 +173,286 @@ def init_sweep(data: SweepData, seed: MapState, x0, config, w
 
 
 # ---------------------------------------------------------------------------
+# batched (Picard) init sweep — TPU-native ICM iteration 0
+# ---------------------------------------------------------------------------
+
+def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
+                       ) -> Tuple[MapState, jnp.ndarray]:
+    """Causal init (ICM_ROS.py:47-119) as a chunked-Picard sweep.
+
+    The sequential init is a T-step lax.scan whose per-step LM solve
+    dominates wall time (measured: 270 ms for T=1833 on TPU v5e, ~85% in
+    the LM iterations — a sequential chain of ~15k tiny kernels).  The
+    causal drift-correction the init performs cannot be globally batched
+    (a pose correction at frame t propagates forward through the
+    kinematic/odometry chain, one frame per Jacobi round — a pure global
+    fixed-point iteration diverges; measured), but it CAN be batched at
+    chunk granularity:
+
+    * the trajectory is processed in chunks of ``init_chunk_len`` frames;
+      the lax.scan runs over ~T/C chunks instead of T frames, carrying the
+      landmark table (weighted sums + counts + live count) and the last
+      pose — causality across chunks is exact;
+    * within a chunk, ``init_rounds`` Picard rounds run fully batched:
+      predictions from the previous round's poses, causal association of
+      all C frames at once (exclusive cumulative segment-sums over the
+      carried table + the chunk's own labels reproduce the reference's
+      running means; a column is visible iff its exclusive count is
+      positive, and the one-new-label-per-frame quirk is a cumsum of frame
+      flags, as in the batched refine sweep), matched values from the
+      INCLUSIVE running means, then all C one-sided LM solves in one vmap
+      and an exact dead-reckon fill of empty-frame gaps via parallel
+      cumulative sums.
+
+    Within-chunk drift (<= C frames from a converged anchor pose) is small,
+    so 2-3 rounds converge; parity with the oracle init is at the ATE
+    level, like every engine-vs-oracle comparison (see tests/test_e2e.py).
+
+    Requires the default unicycle kinematics (the dead-reckon fill encodes
+    them) and the replicate_new_obs quirk; ``_init_jit`` falls back to the
+    sequential scan otherwise.
+    """
+    cap = config.obs_cap or 0
+    if cap and cap < data.dist.shape[1]:
+        data = compact_data(data, cap)
+    elif data.ang.ndim == 1:
+        data = data._replace(ang=jnp.broadcast_to(data.ang, data.dist.shape))
+
+    T, B = data.dist.shape
+    L = seed.pos.shape[0]
+    dtype = x0.dtype
+    dist_thr = config.dist_thr
+    model = _model_of(config)
+    deltat = config.deltat
+    C = max(2, int(config.init_chunk_len))
+    R = max(1, int(config.init_rounds))
+    jac1, _ = _jacs_of(config)
+    z3 = jnp.zeros((3,), dtype)
+    z2 = jnp.zeros((2,), dtype)
+
+    # frames 1..T-1 (frame 0 is the seed), padded to a multiple of C with
+    # all-masked (empty) frames that dead-reckon and touch nothing
+    n = T - 1
+    nc = -(-n // C)
+    pad = nc * C - n
+
+    def pad_c(a):
+        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1))
+
+    dist = pad_c(data.dist[1:]).reshape(nc, C, B)
+    mask = pad_c(data.mask[1:]).reshape(nc, C, B)
+    ang = pad_c(data.ang[1:]).reshape(nc, C, B)
+    odom = pad_c(data.odom[1:]).reshape(nc, C, 3)
+    # per-frame PREVIOUS control / odometry (avoids cross-chunk indexing)
+    u_prev = pad_c(data.u[0:T - 1]).reshape(nc, C, 2)
+    odom_prev = pad_c(data.odom[0:T - 1]).reshape(nc, C, 3)
+
+    def frame_sums(px, py, l, wi):
+        lc = jnp.minimum(l, L)
+        sx = jax.ops.segment_sum(px * wi, lc, num_segments=L + 1)[:L]
+        sy = jax.ops.segment_sum(py * wi, lc, num_segments=L + 1)[:L]
+        c = jax.ops.segment_sum(wi, lc, num_segments=L + 1)[:L]
+        return sx, sy, c
+
+    def chunk_body(carry, inp):
+        base_sx, base_sy, base_cnt, nact, x_last = carry
+        dist_c, mask_c, ang_c, odom_c, u_prev_c, odom_prev_c = inp
+        empty = ~jnp.any(mask_c, axis=1)                    # (C,)
+
+        def rechain(xs, x_prev_stale, keep_abs=None):
+            """Re-compose the pose chain from the carried anchor.
+
+            Frames flagged ``keep_abs`` keep their absolutely-anchored
+            solved pose and re-anchor the chain; the rest (empty frames /
+            round-0 dead-reckoning) contribute their pose RELATIVE to the
+            stale predecessor, composed downstream in one parallel
+            (segmented) SE(2) associative scan.  A full relative rechain
+            (no keep_abs) was measured divergent from a cold start —
+            composing per-frame relative corrections amplifies early-round
+            association noise along the chain.
+            """
+            dth = xs[:, 2] - x_prev_stale[:, 2]
+            d = xs[:, :2] - x_prev_stale[:, :2]
+            c = jnp.cos(x_prev_stale[:, 2])
+            sn = jnp.sin(x_prev_stale[:, 2])
+            rx = c * d[:, 0] + sn * d[:, 1]          # rel in prev frame
+            ry = -sn * d[:, 0] + c * d[:, 1]
+
+            th = jnp.concatenate([x_last[2:3], dth])
+            px = jnp.concatenate([x_last[0:1], rx])
+            py = jnp.concatenate([x_last[1:2], ry])
+            if keep_abs is None:
+                anc = jnp.zeros((C + 1,), bool).at[0].set(True)
+            else:
+                anc = jnp.concatenate(
+                    [jnp.ones((1,), bool), keep_abs])
+            # segmented compose: an anchored element resets the prefix
+            th = jnp.where(anc, jnp.concatenate([x_last[2:3], xs[:, 2]]), th)
+            px = jnp.where(anc, jnp.concatenate([x_last[0:1], xs[:, 0]]), px)
+            py = jnp.where(anc, jnp.concatenate([x_last[1:2], xs[:, 1]]), py)
+
+            def compose(a, b):
+                tha, txa, tya, aa = a
+                thb, txb, tyb, ab = b
+                ca, sa = jnp.cos(tha), jnp.sin(tha)
+                th_ = jnp.where(ab, thb, tha + thb)
+                tx_ = jnp.where(ab, txb, txa + ca * txb - sa * tyb)
+                ty_ = jnp.where(ab, tyb, tya + sa * txb + ca * tyb)
+                return (th_, tx_, ty_, aa | ab)
+
+            th, px, py, _ = jax.lax.associative_scan(
+                compose, (th, px, py, anc))
+            return jnp.stack([px, py, th], axis=-1)[1:]
+
+        def assoc_pass(pts, pts_prev, lab_prev):
+            """One association round + anchored matched targets.
+
+            All cross-frame running-mean mass comes from the PREVIOUS
+            round's self-consistent (points, labels) snapshot; only each
+            frame's OWN current observations are folded in on top (the
+            reference reads the table inclusively after its own update,
+            ICM_SLAM.py:184-194).  Anchoring the cross-frame mass is what
+            makes the Picard iteration stable: rebuilding the means from
+            the CURRENT points each round lets the map drift along with
+            the poses (nothing anchors the gauge — measured divergence
+            after a few rounds), while the anchored variant has the same
+            fixed point (at convergence the snapshots coincide).
+            """
+            wgt = (lab_prev < L).astype(dtype)
+            sx, sy, cnt = jax.vmap(frame_sums)(pts_prev[..., 0],
+                                               pts_prev[..., 1],
+                                               lab_prev, wgt)
+            # EXCLUSIVE prefix: the table as each frame sees it
+            csx = base_sx[None] + jnp.cumsum(sx, 0) - sx     # (C, L)
+            csy = base_sy[None] + jnp.cumsum(sy, 0) - sy
+            ccn = base_cnt[None] + jnp.cumsum(cnt, 0) - cnt
+            ex = csx / jnp.maximum(ccn, 1.0)
+            ey = csy / jnp.maximum(ccn, 1.0)
+            live = ccn > 0
+            dx = pts[..., 0:1] - ex[:, None, :]
+            dy = pts[..., 1:2] - ey[:, None, :]
+            d2 = jnp.where(live[:, None, :], dx * dx + dy * dy, jnp.inf)
+            lab = jnp.argmin(d2, axis=2).astype(jnp.int32)
+            min2 = jnp.take_along_axis(d2, lab[..., None], 2)[..., 0]
+            far = (min2 > dist_thr * dist_thr) & mask_c
+            lab = jnp.where(mask_c, lab, L)
+            # quirk (ICM_SLAM.py:176): one shared new label per far frame
+            has_far = jnp.any(far, axis=1)
+            new_id = nact + jnp.cumsum(has_far).astype(jnp.int32) - 1
+            lab = jnp.where(far, jnp.minimum(new_id[:, None], L), lab)
+            n_new = jnp.sum(has_far).astype(jnp.int32)
+
+            # matched = anchored exclusive mass + own current contribution
+            wgt_c = (lab < L).astype(dtype)
+            osx, osy, ocn = jax.vmap(frame_sums)(pts[..., 0], pts[..., 1],
+                                                 lab, wgt_c)
+            rx = (csx + osx) / jnp.maximum(ccn + ocn, 1.0)
+            ry = (csy + osy) / jnp.maximum(ccn + ocn, 1.0)
+            lab_cl = jnp.clip(lab, 0, L - 1)
+            mx = jnp.take_along_axis(rx, lab_cl, axis=1)
+            my = jnp.take_along_axis(ry, lab_cl, axis=1)
+            matched = jnp.stack([mx, my], axis=-1)
+            # far beams match the NEW landmark = the mean of their own
+            # frame's far cluster (ICM_SLAM.py:176/184-194) — OWN-frame
+            # mass only, never table mass: the new-label column may hold a
+            # DIFFERENT landmark's mass from the previous round's
+            # numbering.  (One shared cluster in the quirk round;
+            # per-component clusters in the spatial rounds.)
+            ox = jnp.take_along_axis(osx, lab_cl, axis=1)
+            oy = jnp.take_along_axis(osy, lab_cl, axis=1)
+            oc = jnp.maximum(jnp.take_along_axis(ocn, lab_cl, axis=1), 1.0)
+            matched = jnp.where(far[..., None],
+                                jnp.stack([ox / oc, oy / oc], axis=-1),
+                                matched)
+            # chunk-total mass of the CURRENT snapshot (carried forward)
+            fx = base_sx + jnp.sum(osx, axis=0)
+            fy = base_sy + jnp.sum(osy, axis=0)
+            fc = base_cnt + jnp.sum(ocn, axis=0)
+            return lab, n_new, matched, fx, fy, fc
+
+        def solve_round(x_prev_arr, xp, matched):
+            def solve(i):
+                prob = PoseProblem(
+                    dist=dist_c[i], ang=ang_c[i], mask=mask_c[i],
+                    matched=matched[i], x_prev=x_prev_arr[i],
+                    u_prev=u_prev_c[i], odo_prev=odom_prev_c[i],
+                    odo_cur=odom_c[i], x_next=z3, u_cur=z2, odo_next=z3)
+                return lm_minimize(
+                    lambda xx: one_sided_residuals(xx, prob, w, model),
+                    xp[i], iters=config.pose_gn_iters,
+                    jac_fn=None if jac1 is None else
+                    (lambda xx: jac1(xx, prob, w)))
+
+            xs = jax.vmap(solve)(jnp.arange(C))
+            # empty frames take the pure kinematic increment, so the
+            # rechain dead-reckons them exactly (ICM_ROS.py:104-106).
+            # Solved frames keep their ABSOLUTE pose (rechain measured
+            # divergent from a cold start: relative-pose composition
+            # amplifies early-round map noise across the chain).
+            xs = jnp.where(empty[:, None], xp, xs)
+            return rechain(xs, x_prev_arr, keep_abs=~empty)
+
+        # round 0: chain the measured ODOMETRY increments from the carried
+        # pose (closer to the init fixed point than the control-model
+        # chain: the reference's per-pose cost pulls each increment toward
+        # the odometry residual, ICM_ROS.py:272-277 — so round-0
+        # association drift over the chunk is smaller; measured)
+        dth0 = odom_c[:, 2] - odom_prev_c[:, 2]
+        dw0 = odom_c[:, :2] - odom_prev_c[:, :2]
+        c0 = jnp.cos(odom_prev_c[:, 2])
+        s0 = jnp.sin(odom_prev_c[:, 2])
+        rel0 = jnp.stack([c0 * dw0[:, 0] + s0 * dw0[:, 1],
+                          -s0 * dw0[:, 0] + c0 * dw0[:, 1]], axis=-1)
+        # feed rechain poses whose relative transform IS the odometry
+        # increment: stale prev = identity-at-origin, pose = (rel, dth)
+        x0p = jnp.zeros((C, 3), dtype)
+        x = rechain(jnp.concatenate([rel0, dth0[:, None]], axis=1), x0p)
+        lab = jnp.full((C, B), L, jnp.int32)
+        pts_prev = jnp.zeros((C, B, 2), dtype)
+        for ridx in range(R):
+            x_prev_arr = jnp.concatenate([x_last[None], x[:-1]], 0)
+            xp = model.kinematics(x_prev_arr, u_prev_c, deltat)
+            pts = beams_to_world(xp, dist_c, ang_c)
+            lab, n_new, matched, fx, fy, fc = assoc_pass(
+                pts, pts_prev, lab)
+            pts_prev = pts
+            x = solve_round(x_prev_arr, xp, matched)
+
+        # final map-build with the CONVERGED poses (no solves): the quirk
+        # new-label rule applies here, so the committed table carries the
+        # reference's label structure computed from settled predictions —
+        # transient junk from the Picard rounds holds no mass
+        x_prev_arr = jnp.concatenate([x_last[None], x[:-1]], 0)
+        xp = model.kinematics(x_prev_arr, u_prev_c, deltat)
+        pts = beams_to_world(xp, dist_c, ang_c)
+        lab, n_new, _, fx, fy, fc = assoc_pass(pts, pts_prev, lab)
+
+        carry = (fx, fy, fc, nact + n_new, x[-1])
+        return carry, x
+
+    base_sx = seed.pos[:, 0] * seed.counts
+    base_sy = seed.pos[:, 1] * seed.counts
+    carry0 = (base_sx, base_sy, seed.counts, seed.nact, x0)
+    (fsx, fsy, fcnt, nact, _), xs = jax.lax.scan(
+        chunk_body, carry0,
+        (dist, mask, ang, odom, u_prev, odom_prev))
+    x = jnp.concatenate([x0[None], xs.reshape(nc * C, 3)[:n]], axis=0)
+    live = fcnt > 0
+    pos = jnp.stack([fsx, fsy], axis=-1) \
+        / jnp.maximum(fcnt, 1.0)[:, None] * live[:, None]
+    # merge duplicate columns (count-weighted), WITHOUT pruning: chunk
+    # round-0 blindness can split one physical landmark's observations
+    # across near-coincident columns; the reference's filtrar merge
+    # (ICM_SLAM.py:224-258) then sees each shard below cota and would drop
+    # the landmark entirely.  Merging first reconstructs the sequential
+    # table structure (cota pruning still happens in the normal filter
+    # step that follows the init).
+    from icm_slam_tpu.mapping.landmark_map import filter_map as _merge
+    merged = _merge(MapState(pos, fcnt, nact), 0.0, dist_thr)
+    return merged, x
+
+
+# ---------------------------------------------------------------------------
 # sequential refinement sweep (fidelity mode)
 # ---------------------------------------------------------------------------
 

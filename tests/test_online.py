@@ -11,7 +11,9 @@ from icm_slam_tpu.solver.icm import run
 @pytest.mark.parametrize("chunk", [7, 64])
 def test_online_matches_offline_init(ijac, chunk):
     ds = ijac.slice(200)
-    cfg = ICMConfig(N=0, L=256, dtype="float32")
+    # the streaming engine IS the causal sequential init — compare against
+    # that engine, not the offline default (batched Picard init)
+    cfg = ICMConfig(N=0, L=256, dtype="float32", init_mode="sequential")
     eng = OnlineSLAM(cfg, chunk_size=chunk)
     for frame in stream_dataset(ds):
         eng.push(*frame)

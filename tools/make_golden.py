@@ -1,9 +1,13 @@
 """Generate golden traces from the NumPy oracle for test/ATE validation.
 
 Usage:
-    python tools/make_golden.py [--iters N] [--frames T] [--criterion C] [--out PATH]
+    python tools/make_golden.py [--dataset ijac2018|palomar] [--iters N]
+                                [--frames T] [--criterion C] [--out PATH]
 
 Writes an .npz with x_init (3,T), x (3,T), map (2,K), counts (K,), changes.
+The palomar dataset gets the filtrar_obs.m noise-cap preprocessing (via
+icm_slam_tpu.data.datasets.load_palomar) before the oracle runs, matching
+what the engine sees.
 """
 import argparse
 import os
@@ -11,28 +15,32 @@ import sys
 import time
 
 import numpy as np
-import scipy.io as sio
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests", "oracle"))
+REPO = os.path.normpath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.join(REPO, "tests", "oracle"))
+sys.path.insert(0, REPO)
 from reference_oracle import OracleParams, run_pipeline  # noqa: E402
-
-DATA = "/root/reference/scripts/data_IJAC2018.mat"
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", default="ijac2018",
+                    help="ijac2018 | palomar")
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--frames", type=int, default=0, help="0 = all")
     ap.add_argument("--criterion", default="inconsistent")
     ap.add_argument("--out", default="")
     args = ap.parse_args()
 
-    m = sio.loadmat(DATA)
-    scans = m["observations"]
-    odom = m["odometry"]
-    u = m["velocities"]
-    T = args.frames or scans.shape[1]
-    scans, odom, u = scans[:, :T], odom[:, :T], u[:, :T]
+    from icm_slam_tpu.data.datasets import load
+    ds = load(args.dataset)
+    if args.frames:
+        ds = ds.slice(args.frames)
+    T = ds.T
+    # oracle convention: column-major (B,T)/(3,T)/(2,T), raw ranges
+    scans = np.ascontiguousarray(ds.scans.T)
+    odom = np.ascontiguousarray(ds.odom.T)
+    u = np.ascontiguousarray(ds.u.T)
 
     p = OracleParams(N=args.iters, cluster_criterion=args.criterion)
     t0 = time.time()
@@ -40,8 +48,8 @@ def main():
     dt = time.time() - t0
 
     path = args.out or os.path.join(
-        os.path.dirname(__file__), "..", "tests", "golden",
-        f"ijac2018_T{T}_N{args.iters}_{args.criterion}.npz")
+        REPO, "tests", "golden",
+        f"{args.dataset}_T{T}_N{args.iters}_{args.criterion}.npz")
     os.makedirs(os.path.dirname(path), exist_ok=True)
     np.savez_compressed(path, **out, wall_seconds=dt, frames=T,
                         iters=args.iters, criterion=args.criterion)

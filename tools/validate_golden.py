@@ -22,6 +22,7 @@ GOLDEN = {
     ("ijac2018", 30): "ijac2018_T1833_N30_inconsistent.npz",
     ("ijac2018", 5): "ijac2018_full_N5.npz",
     ("palomar", 5): "palomar_N5.npz",
+    ("palomar", 30): "palomar_T1833_N30_inconsistent.npz",
 }
 
 
