@@ -32,3 +32,21 @@ model = EnergyModel(obs_scale=range_weighted_h,
 ds = load("ijac2018").slice(600)
 res = run(ds, ICMConfig(N=5, model=model), verbose=True)
 print(f"custom-model run: {res.map_pos.shape[0]} landmarks")
+
+
+# --- full replacement (the reference's fun_x_/h_ subclass override power) ---
+
+def robust_obs_model(x, prob, sqrt_q):
+    """REPLACE the whole observation potential h with a robust variant:
+    Geman-McClure-style soft gating bounds each beam's influence."""
+    a = prob.ang + x[2] - jnp.pi / 2.0
+    pts = x[:2][None, :] + prob.dist[:, None] * jnp.stack(
+        [jnp.cos(a), jnp.sin(a)], axis=-1)
+    r = (pts - prob.matched) * sqrt_q[None, :]
+    n2 = jnp.sum(r * r, axis=-1, keepdims=True)
+    return jnp.where(prob.mask[:, None], r / jnp.sqrt(1.0 + n2), 0.0)
+
+
+robust = EnergyModel(obs_model=robust_obs_model)
+res2 = run(ds, ICMConfig(N=5, model=robust), verbose=True)
+print(f"robust-h run: {res2.map_pos.shape[0]} landmarks")

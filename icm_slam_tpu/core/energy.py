@@ -47,16 +47,36 @@ class PoseProblem(NamedTuple):
 class EnergyModel:
     """User-extensible energy definition.
 
-    The reference exposes subclass hooks g_/h_/fun_x_/fun_xn_ for users to
-    swap the kinematic model and potentials (example.py:13-35,
-    external_options.py:17-35).  The TPU-native equivalent is functional:
-    pass replacement callables here; every hook must be jittable.
+    The reference exposes subclass hooks g/h/fun_x/fun_xn for users to
+    swap the kinematic model and potentials wholesale (example.py:13-35,
+    external_options.py:17-35; base definitions ICM_ROS.py:171-278).  The
+    TPU-native equivalent is functional: pass replacement callables here;
+    every hook must be jittable.  Costs are expressed as RESIDUAL VECTORS
+    r with energy == sum(r**2) — the form the vmapped LM solver consumes
+    (any quadratic-form potential, like every cost in the reference,
+    decomposes this way exactly).
 
+    Elementwise tweaks (compose with the default terms):
       kinematics(x, u, deltat) -> (3,)      replaces g (ICM_ROS.py:202-207)
       obs_scale(dist, ang) -> (B,)           per-beam residual scaling
                                               (elementwise h reweighting)
       extra_one_sided(x, prob) -> (k,)       extra residuals added to fun_x
       extra_two_sided(x, prob) -> (k,)       extra residuals added to fun_xn
+
+    Full replacements (the reference's subclass-override power):
+      obs_model(x, prob, sqrt_q) -> (k,)     replaces the WHOLE observation
+                                              potential h (ICM_ROS.py:171-200);
+                                              must mask invalid beams itself
+                                              (prob.mask) and return a fixed
+                                              shape
+      one_sided(x, prob, w) -> (k,)          replaces fun_x entirely
+                                              (ICM_ROS.py:262-278)
+      two_sided(x, prob, w) -> (k,)          replaces fun_xn entirely
+                                              (ICM_ROS.py:220-252)
+
+    ``w`` is the weights() tuple (sqrt_r, sqrt_q, sqrt_odom, deltat).  A
+    full replacement can call the default builders (one_sided_residuals /
+    two_sided_residuals with DEFAULT_MODEL) to reuse pieces.
 
     Instances are hashable by identity -> usable as a jit-static config
     field; reuse one instance across calls to avoid recompilation.
@@ -65,10 +85,13 @@ class EnergyModel:
     obs_scale: Optional[Callable] = None
     extra_one_sided: Optional[Callable] = None
     extra_two_sided: Optional[Callable] = None
+    obs_model: Optional[Callable] = None
+    one_sided: Optional[Callable] = None
+    two_sided: Optional[Callable] = None
 
     def __hash__(self):
-        return hash((id(self.kinematics), id(self.obs_scale),
-                     id(self.extra_one_sided), id(self.extra_two_sided)))
+        return hash(tuple(id(getattr(self, f.name))
+                          for f in dataclasses.fields(self)))
 
 
 DEFAULT_MODEL = EnergyModel()
@@ -87,6 +110,8 @@ def _odo_residual(th_anchor, odo0, odo1, dxy, dth):
 
 def obs_residuals(x, p: PoseProblem, sqrt_q, model: EnergyModel = DEFAULT_MODEL):
     """(B, 2) masked observation residuals (h potential, ICM_ROS.py:171-200)."""
+    if model.obs_model is not None:
+        return model.obs_model(x, p, sqrt_q)
     a = p.ang + x[2] - jnp.pi / 2.0
     pts = x[:2][None, :] + p.dist[:, None] * jnp.stack(
         [jnp.cos(a), jnp.sin(a)], axis=-1)
@@ -99,6 +124,8 @@ def obs_residuals(x, p: PoseProblem, sqrt_q, model: EnergyModel = DEFAULT_MODEL)
 def one_sided_residuals(x, p: PoseProblem, w,
                         model: EnergyModel = DEFAULT_MODEL):
     """Residuals of fun_x (ICM_ROS.py:262-278). w = (sqrt_r, sqrt_q, sqrt_odom)."""
+    if model.one_sided is not None:
+        return model.one_sided(x, p, w)
     sqrt_r, sqrt_q, sqrt_odom, deltat = w
     gg = x - model.kinematics(p.x_prev, p.u_prev, deltat)
     gg = gg.at[2].set(wrap_angle(gg[2]))
@@ -116,6 +143,8 @@ def one_sided_residuals(x, p: PoseProblem, w,
 def two_sided_residuals(x, p: PoseProblem, w,
                         model: EnergyModel = DEFAULT_MODEL):
     """Residuals of fun_xn (ICM_ROS.py:220-252): forward + backward terms."""
+    if model.two_sided is not None:
+        return model.two_sided(x, p, w)
     sqrt_r, sqrt_q, sqrt_odom, deltat = w
     ggf = model.kinematics(x, p.u_cur, deltat) - p.x_next
     ggf = ggf.at[2].set(wrap_angle(ggf[2]))

@@ -34,6 +34,52 @@ def test_custom_energy_model_changes_solution():
     assert d_cus <= d_def + 1e-9
 
 
+def test_full_potential_replacement_hooks():
+    """The reference's subclass power: REPLACE h / fun_x / fun_xn wholesale
+    (example.py:13-35) — not just rescale or append."""
+    import jax.numpy as jnp
+    from icm_slam_tpu.core.energy import (DEFAULT_MODEL, one_sided_residuals,
+                                          two_sided_residuals)
+
+    ds = synthetic_world(T=80, n_landmarks=8, seed=4)
+    base = dict(N=1, L=128, cota=5.0, dtype="float32")
+
+    # 1) a pass-through replacement must reproduce the default exactly
+    ident = EnergyModel(
+        one_sided=lambda x, p, w: one_sided_residuals(x, p, w, DEFAULT_MODEL),
+        two_sided=lambda x, p, w: two_sided_residuals(x, p, w, DEFAULT_MODEL))
+    r_def = run(ds, ICMConfig(**base))
+    r_id = run(ds, ICMConfig(**base, model=ident, init_mode="sequential"))
+    r_def_seq = run(ds, ICMConfig(**base, init_mode="sequential"))
+    np.testing.assert_allclose(r_id.x, r_def_seq.x, atol=1e-6)
+
+    # 2) a structurally different observation model (robust soft-gated h)
+    def robust_obs(x, p, sqrt_q):
+        a = p.ang + x[2] - jnp.pi / 2.0
+        pts = x[:2][None, :] + p.dist[:, None] * jnp.stack(
+            [jnp.cos(a), jnp.sin(a)], axis=-1)
+        r = (pts - p.matched) * sqrt_q[None, :]
+        # Geman-McClure-style soft gate: bounded influence of outliers
+        n2 = jnp.sum(r * r, axis=-1, keepdims=True)
+        r = r / jnp.sqrt(1.0 + n2)
+        return jnp.where(p.mask[:, None], r, 0.0)
+
+    r_rob = run(ds, ICMConfig(**base, model=EnergyModel(obs_model=robust_obs)))
+    assert np.abs(r_rob.x - r_def.x).max() > 1e-5
+    assert np.isfinite(r_rob.x).all()
+
+    # 3) a fully custom fun_x (odometry-increment-only cost, no landmarks)
+    def odom_only(x, p, w):
+        sqrt_r, _, sqrt_odom, deltat = w
+        gg = x - DEFAULT_MODEL.kinematics(p.x_prev, p.u_prev, deltat)
+        return sqrt_r * gg
+
+    r_odo = run(ds, ICMConfig(**base, model=EnergyModel(one_sided=odom_only),
+                              sweep_mode="sequential"))
+    assert np.isfinite(r_odo.x).all()
+    assert np.abs(r_odo.x - r_def_seq.x).max() > 1e-5
+
+
 def test_plots_render(tmp_path):
     from icm_slam_tpu.utils.viz import LivePlot, plot_convergence, plot_slam
     x = np.cumsum(np.random.default_rng(0).normal(size=(50, 3)), 0)
