@@ -26,10 +26,19 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
                 checkpoint_dir: Optional[str] = None,
                 resume: bool = False,
                 log_path: Optional[str] = None,
-                verbose: bool = False) -> ICMResult:
-    """Full offline pipeline on a Dataset (or dataset name/path)."""
+                verbose: bool = False,
+                live_plot=None) -> ICMResult:
+    """Full offline pipeline on a Dataset (or dataset name/path).
+
+    ``live_plot``: a ``utils.viz.LivePlot`` (or True for a default one) —
+    re-plots trajectory + map after EVERY ICM iteration, the reference's
+    per-iteration graficar2 loop (ICM_ROS.py:304,313-315).
+    """
     if isinstance(dataset, str):
         dataset = load(dataset)
+    if live_plot is True:
+        from icm_slam_tpu.utils.viz import LivePlot
+        live_plot = LivePlot()
     config = config or ICMConfig()
     logger = JsonlLogger(log_path) if (log_path or verbose) else None
 
@@ -53,6 +62,10 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
                       np.asarray(cur_map.counts[:nact]), nact)
         if logger:
             logger.log("iteration", k=k, landmarks=int(cur_map.nact))
+        if live_plot is not None:
+            live_plot.update(np.asarray(x),
+                             np.asarray(cur_map.pos[:int(cur_map.nact)]),
+                             odom=dataset.odom)
 
     def on_init(x_init):
         # persist the iteration-0 trajectory IMMEDIATELY (before any

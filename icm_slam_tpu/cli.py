@@ -32,6 +32,9 @@ def _add_common(ap):
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--plot", default=None, metavar="DIR",
                     help="save trajectory/convergence PNGs to DIR")
+    ap.add_argument("--plot-live", action="store_true",
+                    help="re-plot trajectory + map after every ICM "
+                         "iteration (reference per-iteration plotting)")
     ap.add_argument("--loop-close", action="store_true",
                     help="detect loop closures (scan ICP) and pose-graph "
                          "correct the refined trajectory")
@@ -94,7 +97,8 @@ def cmd_run(args):
     from icm_slam_tpu.api import run_offline
     res = run_offline(ds, cfg, checkpoint_dir=args.checkpoint_dir,
                       resume=args.resume, log_path=args.log,
-                      verbose=not args.quiet)
+                      verbose=not args.quiet,
+                      live_plot=True if args.plot_live else None)
     if args.loop_close:
         import jax.numpy as jnp
         import numpy as np

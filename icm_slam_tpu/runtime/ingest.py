@@ -17,11 +17,14 @@ explicit, race-free design:
 from __future__ import annotations
 
 import bisect
+import logging
 import math
 import threading
 from typing import Iterator, List, Optional, Tuple
 
 import numpy as np
+
+log = logging.getLogger("icm_slam_tpu.ingest")
 
 
 # ---------------------------------------------------------------------------
@@ -85,8 +88,11 @@ class FrameSynchronizer:
     Thread-safe: feed_* may be called from a network thread; ``drain()``
     from the consumer.  A frame k is emitted when both sensors have a
     message within deltat of t0 + k*deltat (same tolerance as Sensor.sort,
-    ICM_SLAM.py:397).  Frames missing either sensor are dropped, like the
-    reference (ICM_SLAM.py:326-327).
+    ICM_SLAM.py:397).  Frames missing either sensor are dropped WITH a
+    warning and a counter, like the reference's desync diagnostics
+    (ICM_SLAM.py:403-426 "Warning 0/1"); consumed history is pruned after
+    every drain, so memory and per-drain cost stay bounded over an
+    arbitrarily long live session.
     """
 
     def __init__(self, deltat: float):
@@ -96,6 +102,10 @@ class FrameSynchronizer:
         self._odo: List[Tuple[float, np.ndarray, np.ndarray]] = []
         self._t0: Optional[float] = None
         self._k = 0
+        # observability counters (reference parity: Sensor.sort warnings)
+        self.paired = 0          # frames emitted
+        self.dropped = 0         # grid points missing a synchronized pair
+        self.pruned = 0          # consumed messages discarded
 
     def feed_laser(self, stamp: float, ranges: np.ndarray):
         with self._lock:
@@ -104,6 +114,15 @@ class FrameSynchronizer:
     def feed_odometry(self, stamp: float, pose: np.ndarray, u: np.ndarray):
         with self._lock:
             self._odo.append((stamp, pose, u))
+
+    @property
+    def stats(self) -> dict:
+        """Snapshot of sync health: paired/dropped/pruned + buffer sizes."""
+        with self._lock:
+            return {"paired": self.paired, "dropped": self.dropped,
+                    "pruned": self.pruned,
+                    "laser_buffered": len(self._laser),
+                    "odo_buffered": len(self._odo)}
 
     def _nearest(self, series, target):
         keys = [s[0] for s in series]
@@ -118,27 +137,45 @@ class FrameSynchronizer:
 
     def drain(self) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
         """Yield all currently pairable frames (ranges, pose, u)."""
+        pairs = []
         with self._lock:
-            laser = list(self._laser)
-            odo = list(self._odo)
-        if not laser or not odo:
-            return
-        if self._t0 is None:
-            self._t0 = max(laser[0][0], odo[0][0])
-        while True:
-            target = self._t0 + self._k * self.deltat
-            li, ld = self._nearest(laser, target)
-            oi, od = self._nearest(odo, target)
-            if li is None or oi is None:
-                return
-            # stop when the buffers haven't reached this grid point yet
-            if laser[-1][0] < target + self.deltat or \
-                    odo[-1][0] < target + self.deltat:
-                return
-            self._k += 1
-            if ld < self.deltat and od < self.deltat:
-                yield laser[li][1], odo[oi][1], odo[oi][2]
-            # else: desynchronized frame -> dropped (reference behavior)
+            laser, odo = self._laser, self._odo
+            if not laser or not odo:
+                return iter(())
+            if self._t0 is None:
+                self._t0 = max(laser[0][0], odo[0][0])
+            while True:
+                target = self._t0 + self._k * self.deltat
+                # stop when the buffers haven't reached this grid point yet
+                if laser[-1][0] < target + self.deltat or \
+                        odo[-1][0] < target + self.deltat:
+                    break
+                li, ld = self._nearest(laser, target)
+                oi, od = self._nearest(odo, target)
+                self._k += 1
+                if ld < self.deltat and od < self.deltat:
+                    pairs.append((laser[li][1], odo[oi][1], odo[oi][2]))
+                    self.paired += 1
+                else:
+                    # desynchronized grid point -> dropped, loudly
+                    # (reference: ICM_SLAM.py:417-426 "Warning 1")
+                    self.dropped += 1
+                    if self.dropped <= 10 or self.dropped % 100 == 0:
+                        log.warning(
+                            "desynchronized frame %d at t=%.3f dropped "
+                            "(laser off by %.3fs, odometry by %.3fs; "
+                            "%d dropped so far)", self._k - 1, target,
+                            ld, od, self.dropped)
+            # prune consumed history: nothing before the next grid point
+            # minus one tolerance window can ever pair again
+            cutoff = self._t0 + self._k * self.deltat - self.deltat
+            for series in (laser, odo):
+                keys = [m[0] for m in series]
+                i = bisect.bisect_left(keys, cutoff)
+                if i > 0:
+                    del series[:i]
+                    self.pruned += i
+        return iter(pairs)
 
 
 # ---------------------------------------------------------------------------

@@ -121,23 +121,58 @@ class OnlineSLAM:
     # ------------------------------------------------------------------
     def finish(self, refine: bool = True,
                n_iters: Optional[int] = None) -> ICMResult:
-        """Flush, filter the map, optionally refine offline (entry point B)."""
+        """Flush, filter the map, optionally refine offline (entry point B).
+
+        Refinement CARRIES the streamed state: the incremental causal init
+        computed chunk-by-chunk during the session (map + trajectory) seeds
+        the offline ICM sweeps directly — nothing is recomputed.
+        """
+        import time as _time
+
         self._flush()
         from icm_slam_tpu.data.datasets import Dataset
-        from icm_slam_tpu.solver.icm import run
+        from icm_slam_tpu.mapping.landmark_map import filter_map
 
         x_init = np.concatenate(self._poses, axis=0)
+        fm = filter_map(self._state, self.config.cota, self.config.dist_thr)
+        if not refine:
+            nact = int(fm.nact)
+            return ICMResult(
+                x_init=x_init, x=x_init, map_pos=np.asarray(fm.pos[:nact]),
+                map_counts=np.asarray(fm.counts[:nact]),
+                changes=np.zeros((0, 3)), timings={})
+
+        from icm_slam_tpu.solver.icm import (_refine_jit, check_table_overflow,
+                                             map_change, prepare,
+                                             resolve_config)
         ds = Dataset(np.asarray(self._scans), np.asarray(self._odom),
                      np.asarray(self._u), x_init[0], name="online")
-        if refine:
-            # run() re-does the causal init inside (cheap, jitted) so that
-            # offline refinement sees identical state; returns full result
-            return run(ds, self.config, n_iters=n_iters,
-                       verbose=self.verbose)
-        from icm_slam_tpu.mapping.landmark_map import filter_map
-        fm = filter_map(self._state, self.config.cota, self.config.dist_thr)
-        nact = int(fm.nact)
+        config = self.config
+        n_iters = config.N if n_iters is None else n_iters
+        data = prepare(ds, config)
+        config = resolve_config(config, data)
+        x = jnp.asarray(x_init, data.dist.dtype)
+        cur_map = jax.tree.map(lambda a: jnp.asarray(a), fm)
+        changes, raw = [], []
+        t0 = _time.perf_counter()
+        for k in range(n_iters):
+            prev = cur_map
+            cur_map, x, rn = _refine_jit(data, prev, x, config)
+            changes.append(map_change(cur_map, prev))
+            raw.append(rn)
+            if self.verbose:
+                corr = float(jnp.sum(jnp.linalg.norm(
+                    x - jnp.asarray(x_init, x.dtype), axis=1)))
+                print(f"[online] refine {k + 1}/{n_iters} "
+                      f"landmarks={int(cur_map.nact)} "
+                      f"correction={corr:.4f}", flush=True)
+        jax.block_until_ready(x)
+        for k, rn in enumerate(raw):
+            check_table_overflow(rn, config.L, f"refinement sweep {k}")
+        nact = int(cur_map.nact)
         return ICMResult(
-            x_init=x_init, x=x_init, map_pos=np.asarray(fm.pos[:nact]),
-            map_counts=np.asarray(fm.counts[:nact]),
-            changes=np.zeros((0, 3)), timings={})
+            x_init=x_init, x=np.asarray(x),
+            map_pos=np.asarray(cur_map.pos[:nact]),
+            map_counts=np.asarray(cur_map.counts[:nact]),
+            changes=np.asarray([[float(c) for c in ch] for ch in changes]),
+            timings={"refine_s": _time.perf_counter() - t0})
