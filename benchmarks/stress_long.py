@@ -17,6 +17,9 @@ def main():
     ap.add_argument("--landmarks", type=int, default=300)
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--pallas", choices=["auto", "on", "off"], default="auto",
+                    help="force the Pallas association kernel on/off "
+                         "(the VERDICT #7 A/B at stress scale)")
     args = ap.parse_args()
 
     import jax
@@ -37,8 +40,9 @@ def main():
     gen_s = time.perf_counter() - t0
 
     on_tpu = jax.devices()[0].platform != "cpu"
+    use_pallas = on_tpu if args.pallas == "auto" else args.pallas == "on"
     cfg = ICMConfig(N=args.iters, L=1024, cota=50.0, dtype="float32",
-                    use_pallas_assoc=on_tpu)
+                    use_pallas_assoc=use_pallas)
     data = prepare(ds, cfg)
     # resolves obs_cap and DISABLES map_run_cap when the live-landmark
     # bound exceeds it (the 300-landmark world would otherwise silently
@@ -68,7 +72,8 @@ def main():
         check_table_overflow(rn, cfg.L, f"refinement sweep {k}")
 
     print(json.dumps({
-        "frames": args.frames, "landmarks_world": args.landmarks,
+        "frames": args.frames, "pallas": use_pallas,
+        "landmarks_world": args.landmarks,
         "landmarks_mapped": int(m.nact),
         "gen_s": round(gen_s, 1), "init_s": round(init_s, 2),
         "refine_ms_per_iter": round(refine_s * 1e3, 1),

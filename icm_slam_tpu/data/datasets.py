@@ -95,12 +95,17 @@ def load_palomar(path: str, max_range: float = 10.0,
 
 
 def synthetic_world(T=600, n_landmarks=40, n_beams=181, max_range=10.0,
-                    world_size=30.0, seed=0, loop=True) -> Dataset:
+                    world_size=30.0, seed=0, loop=True, odo_drift=1e-4,
+                    return_truth=False):
     """Synthetic DDMR + 2D lidar world for tests and loop-closure benchmarks.
 
     The robot drives a smooth loop among random point landmarks; scans are
     rendered with the reference's beam convention (beam i at i degrees, the
     -pi/2 body offset) so the full pipeline runs on it unchanged.
+
+    ``odo_drift``: per-step std of the cumulative odometry random walk.
+    ``return_truth``: also return the true trajectory (T,3) and landmark
+    positions (n,2) — the ground truth for solver ATE experiments.
     """
     rng = np.random.default_rng(seed)
     landmarks = (rng.uniform(-0.5, 0.5, size=(n_landmarks, 2)) * world_size)
@@ -140,8 +145,11 @@ def synthetic_world(T=600, n_landmarks=40, n_beams=181, max_range=10.0,
     noise = rng.normal(0, 0.01, size=scans.shape)
     scans = np.where(scans < max_range, scans + noise, scans)
     u = np.stack([v, w], axis=1)
-    odo_noise = np.cumsum(rng.normal(0, 1e-4, size=(T, 3)), axis=0)
-    return Dataset(scans, x + odo_noise, u, x[0].copy(), name="synthetic")
+    odo_noise = np.cumsum(rng.normal(0, odo_drift, size=(T, 3)), axis=0)
+    ds = Dataset(scans, x + odo_noise, u, x[0].copy(), name="synthetic")
+    if return_truth:
+        return ds, x, landmarks
+    return ds
 
 
 def load(name_or_path: str, **kw) -> Dataset:

@@ -46,6 +46,24 @@ def test_ba_energy_decreases():
                                atol=1e-7)
 
 
+def test_ba_ground_truth_parity():
+    """Against KNOWN truth (synthetic world), joint BA matches batched ICM
+    quality — the round-1 'BA value unproven' experiment, kept as a
+    regression gate.  Full sweep: benchmarks/ba_eval.py."""
+    ds, xt, _ = synthetic_world(T=300, n_landmarks=20, seed=3,
+                                odo_drift=1e-3, return_truth=True)
+
+    def ate(x):
+        return float(np.sqrt(((x[:, :2] - xt[:, :2]) ** 2).sum(1)).mean())
+
+    r_icm = run(ds, ICMConfig(N=4, L=256, cota=5.0, dtype="float32",
+                              sweep_mode="batched"))
+    r_ba = run(ds, ICMConfig(N=4, L=256, cota=5.0, dtype="float32",
+                             sweep_mode="ba"))
+    assert ate(r_ba.x) < max(1.25 * ate(r_icm.x), ate(r_icm.x) + 0.02), \
+        (ate(r_ba.x), ate(r_icm.x))
+
+
 def test_ba_mode_matches_icm_fixed_point(ijac):
     """BA and ICM modes should land near the same solution on real data."""
     ds = ijac.slice(300)
