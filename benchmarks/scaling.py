@@ -49,9 +49,7 @@ def main():
     ds = load_ijac2018("/root/reference/scripts/data_IJAC2018.mat")
     if args.frames:
         ds = ds.slice(args.frames)
-    on_tpu = jax.devices()[0].platform not in ("cpu",)
-    cfg = ICMConfig(N=1, L=1024, dtype="float32",
-                    use_pallas_assoc=on_tpu)
+    cfg = ICMConfig(N=1, L=1024, dtype="float32")
     data = prepare(ds, cfg)
     cfg = resolve_config(cfg, data)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)

@@ -40,7 +40,8 @@ def main():
     gen_s = time.perf_counter() - t0
 
     on_tpu = jax.devices()[0].platform != "cpu"
-    use_pallas = on_tpu if args.pallas == "auto" else args.pallas == "on"
+    # default off: measured neutral at this scale (243 vs 241 ms/iter)
+    use_pallas = on_tpu and args.pallas == "on"
     cfg = ICMConfig(N=args.iters, L=1024, cota=50.0, dtype="float32",
                     use_pallas_assoc=use_pallas)
     data = prepare(ds, cfg)

@@ -61,8 +61,10 @@ def main(argv=None):
                          "conservative engine default, ATE 0.016 m)")
     ap.add_argument("--gn-iters", type=int, default=6,
                     help="LM iterations per pose solve (6 fast / 8 default)")
-    ap.add_argument("--no-pallas", action="store_true",
-                    help="force the fused-XLA association path")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the Pallas correspondence kernel (opt-in; "
+                         "measured neutral vs XLA fusion at reference AND "
+                         "20k-frame stress scale)")
     args = ap.parse_args(argv)
 
     import jax
@@ -82,7 +84,7 @@ def main(argv=None):
     on_tpu = jax.devices()[0].platform != "cpu"
     cfg = ICMConfig(N=args.iters, L=1024, sweep_mode=args.mode,
                     dtype="float32",
-                    use_pallas_assoc=on_tpu and not args.no_pallas,
+                    use_pallas_assoc=on_tpu and args.pallas,
                     pose_passes=args.passes, pose_gn_iters=args.gn_iters)
 
     data = prepare(ds, cfg)

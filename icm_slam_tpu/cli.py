@@ -32,6 +32,10 @@ def _add_common(ap):
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--plot", default=None, metavar="DIR",
                     help="save trajectory/convergence PNGs to DIR")
+    ap.add_argument("--pallas", action="store_true",
+                    help="use the Pallas correspondence kernel (opt-in; "
+                         "measured neutral vs XLA fusion at all tested "
+                         "scales)")
     ap.add_argument("--plot-live", action="store_true",
                     help="re-plot trajectory + map after every ICM "
                          "iteration (reference per-iteration plotting)")
@@ -56,7 +60,10 @@ def _build(args):
         overrides["N"] = args.iters
     if args.mode:
         overrides["sweep_mode"] = args.mode
-    if not args.cpu and jax.devices()[0].platform != "cpu":
+    if args.pallas:
+        # opt-in only: measured neutral vs XLA's fused association at both
+        # reference scale (62.5 vs 63.1 ms/iter) and 20k-frame stress scale
+        # (243 vs 241 ms/iter) — see docs/RESULTS.md
         overrides.setdefault("use_pallas_assoc", True)
     cfg = (ICMConfig.from_yaml(args.config, **overrides) if args.config
            else ICMConfig(**overrides))

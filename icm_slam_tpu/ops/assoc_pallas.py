@@ -11,10 +11,12 @@ through VMEM and keeps a running (min, argmin) over L-chunks, so HBM traffic
 drops to the inputs plus two (T, B) outputs.
 
 MEASURED REALITY (see CLAUDE.md "measurement traps"): inside the full
-refinement jit the kernel and the XLA path are equal (62.5 vs 63.1 ms/iter
-end-to-end) — XLA's own fusion already avoids materializing the distances
-at these sizes.  The kernel is kept as the explicit-control variant and for
-larger L, where the fused-XLA window may not hold.
+refinement jit the kernel and the XLA path are equal at BOTH tested scales
+— 62.5 vs 63.1 ms/iter at reference scale, and 243.2 vs 240.6 ms/iter at
+the 20k-frame / L=1024 stress world (round-2 A/B, docs/RESULTS.md) — XLA's
+own fusion already avoids materializing the distances.  The question is
+SETTLED: the kernel is opt-in (`use_pallas_assoc` / `--pallas`), kept as
+the explicit-control scaffold for future custom-kernel work.
 
 Hardware notes (learned on the axon remote-TPU runtime):
   * no in-kernel reshape of the (TILE_T, B, 2) block — merging sublane dims

@@ -51,9 +51,7 @@ def main():
     from icm_slam_tpu.config import ICMConfig
     from icm_slam_tpu.data.datasets import load
 
-    on_tpu = not args.cpu and jax.devices()[0].platform != "cpu"
-    overrides = {"N": args.iters, "sweep_mode": args.mode,
-                 "use_pallas_assoc": on_tpu}
+    overrides = {"N": args.iters, "sweep_mode": args.mode}
     if args.passes is not None:
         overrides["pose_passes"] = args.passes
     if args.gn_iters is not None:
