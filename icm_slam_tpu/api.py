@@ -54,6 +54,11 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
             return _resume_run(dataset, config, state, start_iter,
                                checkpoint_dir, logger)
 
+    # only attach a per-iteration callback when it has work to do — with
+    # no observer run() fuses the whole refinement loop into one device
+    # program (solver.icm._refine_loop_jit)
+    needs_cb = bool(checkpoint_dir or logger or live_plot is not None)
+
     def cb(k, cur_map, x):
         if checkpoint_dir:
             nact = int(cur_map.nact)
@@ -76,8 +81,8 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
             np.savez_compressed(os.path.join(checkpoint_dir, "x_init.npz"),
                                 x_init=x_init)
 
-    result = run(dataset, config, verbose=verbose, callback=cb,
-                 on_init=on_init)
+    result = run(dataset, config, verbose=verbose,
+                 callback=cb if needs_cb else None, on_init=on_init)
     if logger:
         logger.log("done", landmarks=result.map_pos.shape[0],
                    timings=result.timings,

@@ -75,7 +75,8 @@ def main(argv=None):
     from icm_slam_tpu.config import ICMConfig
     from icm_slam_tpu.data.datasets import load
     from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit, _refine_jit,
-                                         prepare, resolve_config, seed_map)
+                                         _refine_loop_jit, prepare,
+                                         resolve_config, seed_map)
 
     ds = load(args.dataset)
     if args.frames:
@@ -103,14 +104,21 @@ def main(argv=None):
     init_s = time.perf_counter() - t0
     cur_map = _filter_jit(state, cfg)
 
-    # --- refinement sweeps: warmup (compile) then timed loop ---
-    m_w, x_w, _ = _refine_jit(data, cur_map, x, cfg)
+    # --- refinement sweeps: warmup (compile) then timed fused loop ---
+    # the production path (run() with no per-iteration observer) executes
+    # all N iterations as ONE device program; honest timing: state evolves
+    # every iteration inside the scan, nothing is re-fed
+    # metric definition: pure sweep throughput (no per-iteration L×L
+    # convergence diagnostics), same as the reference baseline's timing
+    m_w, x_w, _, _ = _refine_loop_jit(data, cur_map, x, cfg, args.iters,
+                                      with_metrics=False)
     jax.block_until_ready(x_w)
 
+    # chain the timed call on the warmup's OUTPUT (same-input repeats are
+    # memoized by the runtime and time ~0.03 ms — see CLAUDE.md)
     t0 = time.perf_counter()
-    m, xx = cur_map, x
-    for _ in range(args.iters):
-        m, xx, _ = _refine_jit(data, m, xx, cfg)
+    m, xx, _, _ = _refine_loop_jit(data, m_w, x_w, cfg, args.iters,
+                                   with_metrics=False)
     jax.block_until_ready(xx)
     refine_s = (time.perf_counter() - t0) / args.iters
 
@@ -123,7 +131,8 @@ def main(argv=None):
     gp = None if args.frames else _golden_path(args.dataset)
     if gp:
         import numpy as np
-        for _ in range(max(0, 30 - args.iters)):
+        # warmup + timed loop each advanced the state args.iters sweeps
+        for _ in range(max(0, 30 - 2 * args.iters)):
             m, xx, _ = _refine_jit(data, m, xx, cfg)
         gx = np.load(gp)["x"].T
         xn = np.asarray(xx)
