@@ -147,7 +147,8 @@ def update(state: MapState, ref_pos, ref_nact, pts, mask, dist_thr,
     return new_state, labels
 
 
-def filter_map(state: MapState, cota, dist_thr) -> MapState:
+def filter_map(state: MapState, cota, dist_thr, live_cap: int = 0
+               ) -> MapState:
     """Prune landmarks seen < cota times, merge near-duplicates.
 
     Fixed-shape reproduction of Mapa.filtrar (ICM_SLAM.py:204-265):
@@ -157,47 +158,61 @@ def filter_map(state: MapState, cota, dist_thr) -> MapState:
          pairs; order-dependent) via fori_loop
       4. label compaction identical to the reference's descending re-index
       5. count-weighted merge means via segment-sum
+
+    ``live_cap`` (static): when > 0, the merge machinery — the K×K
+    distance matrix, the K-step sequential relabel loop, the segment
+    sums — runs on the first K = live_cap compacted rows instead of all
+    L.  EXACT when the kept-landmark count <= live_cap; the kept count
+    is bounded by total_obs / cota, the same provable bound run() uses
+    to enable map_run_cap (solver.icm.resolve_config), so callers pass
+    config.map_run_cap (0 when disabled).  Cut filter cost ~4x at
+    L=1024 / cap=256 (the L-step relabel scan is latency-bound on TPU).
     """
     L = state.pos.shape[0]
+    K = live_cap if 0 < live_cap < L else L
     idx = jnp.arange(L)
     live = idx < state.nact
     keep = live & (state.counts >= cota)
     # stable compaction: kept landmarks first, original order preserved
     order = jnp.argsort(jnp.where(keep, idx, L + idx))
-    pos = state.pos[order]
-    counts = state.counts[order]
+    pos = state.pos[order][:K]
+    counts = state.counts[order][:K]
     n = jnp.sum(keep).astype(jnp.int32)
-    live = idx < n
+    idx_k = jnp.arange(K)
+    live_k = idx_k < n
 
     diff = pos[:, None, :] - pos[None, :, :]
     d = jnp.sqrt(jnp.sum(diff * diff, axis=-1))
-    pair = live[:, None] & live[None, :]
+    pair = live_k[:, None] & live_k[None, :]
     d_live = jnp.where(pair, d, -jnp.inf)
     dmax = jnp.max(d_live)
     # diagonal masked explicitly (XLA norm reassociation leaves nonzero
     # garbage there); near-zero off-diagonals keep the reference's
     # duplicate-landmark sentinel
     d = jnp.where(d < 1e-9, dmax, d)
-    d = jnp.where(jnp.eye(L, dtype=bool), dmax, d)
+    d = jnp.where(jnp.eye(K, dtype=bool), dmax, d)
     d = jnp.where(pair, d, jnp.inf)
     nn = jnp.argmin(d, axis=1).astype(jnp.int32)
     nnd = jnp.min(d, axis=1)
-    close = live & (nnd < dist_thr)
+    close = live_k & (nnd < dist_thr)
 
     def relabel_body(i, lab):
         tgt = lab[nn[i]]
         new = jnp.where(close[i] & (lab == tgt), lab[i], lab)
         return jnp.where(close[i], new, lab)
 
-    lab = jax.lax.fori_loop(0, L, relabel_body, idx.astype(jnp.int32))
-    lab = compact_labels(lab, live, L)
-    n_final = jnp.where(n > 0, jnp.max(jnp.where(live, lab, -1)) + 1, 0)
+    lab = jax.lax.fori_loop(0, K, relabel_body, idx_k.astype(jnp.int32))
+    lab = compact_labels(lab, live_k, K)
+    n_final = jnp.where(n > 0, jnp.max(jnp.where(live_k, lab, -1)) + 1, 0)
 
-    w = jnp.where(live, counts, 0.0)
-    sums = jax.ops.segment_sum(pos * w[:, None], lab, num_segments=L + 1)[:L]
-    cnts = jax.ops.segment_sum(w, lab, num_segments=L + 1)[:L]
+    w = jnp.where(live_k, counts, 0.0)
+    sums = jax.ops.segment_sum(pos * w[:, None], lab, num_segments=K + 1)[:K]
+    cnts = jax.ops.segment_sum(w, lab, num_segments=K + 1)[:K]
     merged = jnp.where((cnts > 0)[:, None],
                        sums / jnp.maximum(cnts, 1.0)[:, None], 0.0)
+    if K < L:
+        merged = jnp.zeros((L, 2), merged.dtype).at[:K].set(merged)
+        cnts = jnp.zeros((L,), cnts.dtype).at[:K].set(cnts)
     return MapState(merged, cnts, n_final.astype(jnp.int32))
 
 

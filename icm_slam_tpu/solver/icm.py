@@ -183,7 +183,11 @@ def _refine_step(data, old_map, x, config):
                                       window=config.ba_window)
     else:
         state, x = refine_sweep_batched(data, old_map, x, config, w)
-    filtered = filter_map(state, config.cota, config.dist_thr)
+    # the same provable live bound that enables map_run_cap (resolve_config)
+    # bounds the kept-landmark count, so the filter's merge machinery can
+    # run on the cap-sized slice
+    filtered = filter_map(state, config.cota, config.dist_thr,
+                          live_cap=config.map_run_cap)
     return filtered, x, state.nact
 
 
@@ -193,7 +197,8 @@ _refine_jit = functools.partial(jax.jit, static_argnames=("config",))(
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _filter_jit(state, config):
-    return filter_map(state, config.cota, config.dist_thr)
+    return filter_map(state, config.cota, config.dist_thr,
+                      live_cap=config.map_run_cap)
 
 
 @functools.partial(jax.jit,

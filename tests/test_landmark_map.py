@@ -92,6 +92,30 @@ def test_filter_merges_close_landmarks():
     np.testing.assert_allclose(np.asarray(out.counts[:2]), [6.0, 7.0])
 
 
+def test_filter_live_cap_exact():
+    """filter_map(live_cap=K) == filter_map full when kept count <= K.
+
+    The capped path is what _refine_step/_filter_jit use under the
+    map_run_cap live bound (solver.icm.resolve_config)."""
+    rng = np.random.default_rng(0)
+    n_live = 40
+    pos = jnp.zeros((L, 2)).at[:n_live].set(
+        jnp.asarray(rng.uniform(-20, 20, (n_live, 2))))
+    # a few deliberate near-duplicates to exercise the merge loop
+    pos = pos.at[5].set(pos[3] + 0.05)
+    pos = pos.at[17].set(pos[11] + 0.08)
+    counts = jnp.zeros((L,)).at[:n_live].set(
+        jnp.asarray(rng.integers(1, 30, n_live), jnp.float32))
+    state = lm.MapState(pos, counts, jnp.asarray(n_live, jnp.int32))
+    full = lm.filter_map(state, 3.0, 1.0)
+    capped = lm.filter_map(state, 3.0, 1.0, live_cap=64)
+    assert int(full.nact) == int(capped.nact)
+    np.testing.assert_array_equal(np.asarray(full.pos),
+                                  np.asarray(capped.pos))
+    np.testing.assert_array_equal(np.asarray(full.counts),
+                                  np.asarray(capped.counts))
+
+
 def test_connected_components():
     pts = jnp.asarray(np.array(
         [[0, 0], [0.5, 0], [1.0, 0], [5, 5], [5.4, 5], [9, 9]], float))
