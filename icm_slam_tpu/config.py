@@ -53,11 +53,14 @@ class ICMConfig:
                                      # default kinematics/quirk apply, else
                                      # the faithful sequential scan
     init_rounds: int = 3             # Picard rounds per chunk (batched init)
-    init_chunk_len: int = 48         # frames per chunk of the batched init
-                                     # (48 validated best on BOTH datasets:
-                                     # ATE 0.0153/0.0206 vs 0.0163/0.0232
-                                     # at 32, and 85 -> 59 ms; 64 degrades
-                                     # to 0.036/0.043)
+    init_chunk_len: int = 32         # frames per chunk of the batched init.
+                                     # 48 is faster (85 -> 59 ms) and wins
+                                     # at the 2-pass engine default, but its
+                                     # weaker init loses a landmark that the
+                                     # 1-pass fast profile never re-spawns
+                                     # (census 10/11, ATE 0.144) — 32 is the
+                                     # only setting validated across BOTH
+                                     # datasets AND profiles
     pose_gn_iters: int = 8           # LM iterations per pose solve
     pose_passes: int = 2             # red-black half-pass pairs per batched sweep
     replicate_new_obs_quirk: bool = True  # ICM_SLAM.py:176 empty-slice quirk

@@ -89,6 +89,15 @@ def resolve_config(config: ICMConfig, data) -> ICMConfig:
         live_bound = float(np.asarray(data.mask.sum())) / max(config.cota, 1.0)
         if live_bound + 1 >= config.map_run_cap:
             config = dataclasses.replace(config, map_run_cap=0)
+        else:
+            # shrink to the tightest 128-aligned width above the bound:
+            # exactness needs only nact < cap, and live landmarks can never
+            # exceed total_obs / cota.  Halving 256 -> 128 halves the
+            # K-step sequential relabel loop in filter_map and every
+            # cap-wide segment-sum (128 = one TPU lane tile).
+            tight = max(128, -(-int(live_bound + 2) // 128) * 128)
+            if tight < config.map_run_cap:
+                config = dataclasses.replace(config, map_run_cap=tight)
     return config
 
 

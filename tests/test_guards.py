@@ -50,6 +50,38 @@ def test_map_run_cap_disabled_when_bound_exceeds_it():
     assert resolve_config(cfg_hi, data).map_run_cap == 8
 
 
+def test_map_run_cap_shrinks_to_bound_and_stays_exact():
+    # resolve_config tightens the cap to the smallest 128-aligned width
+    # above the live-landmark bound; the shrunk program must produce the
+    # SAME refine step as the full-width one (the extra columns are
+    # provably dead)
+    from icm_slam_tpu.solver.icm import _filter_jit, _init_jit, _refine_jit, \
+        seed_map
+
+    ds = synthetic_world(T=300, n_landmarks=20, seed=3)
+    cfg = ICMConfig(N=1, L=512, cota=40.0, map_run_cap=256)
+    data = prepare(ds, cfg)
+    out = resolve_config(cfg, data)
+    bound = float(np.asarray(data.mask.sum())) / cfg.cota
+    assert bound + 2 <= 128, "fixture must land under one tile"
+    assert out.map_run_cap == 128
+
+    wide = dataclasses.replace(out, map_run_cap=256)
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    seed = seed_map(data, x0, out)
+    state, x = _init_jit(data, seed, x0, out)
+    m0 = _filter_jit(state, out)
+    for c in (out, wide):
+        if int(m0.nact) >= c.map_run_cap:
+            pytest.skip("fixture violates the cap precondition")
+    m_a, x_a, _ = _refine_jit(data, m0, x, out)
+    m_b, x_b, _ = _refine_jit(data, m0, x, wide)
+    np.testing.assert_array_equal(np.asarray(x_a), np.asarray(x_b))
+    assert int(m_a.nact) == int(m_b.nact)
+    np.testing.assert_array_equal(np.asarray(m_a.pos[:128]),
+                                  np.asarray(m_b.pos[:128]))
+
+
 def test_check_table_overflow_raises():
     with pytest.raises(RuntimeError, match="overflow"):
         check_table_overflow(jnp.asarray(10, jnp.int32), 8, "test sweep")
