@@ -20,6 +20,9 @@ def main():
     ap.add_argument("--pallas", choices=["auto", "on", "off"], default="auto",
                     help="force the Pallas association kernel on/off "
                          "(the VERDICT #7 A/B at stress scale)")
+    ap.add_argument("--cap", type=int, default=512,
+                    help="map_run_cap in CHECKED mode (runtime-witnessed, "
+                         "exact-or-error); 0 = full-width paths")
     args = ap.parse_args()
 
     import jax
@@ -31,7 +34,7 @@ def main():
     from icm_slam_tpu.config import ICMConfig
     from icm_slam_tpu.data.datasets import synthetic_world
     from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit, _refine_jit,
-                                         check_table_overflow, prepare,
+                                         check_witness, kept_count, prepare,
                                          resolve_config, seed_map)
 
     t0 = time.perf_counter()
@@ -42,12 +45,15 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     # default off: measured neutral at this scale (243 vs 241 ms/iter)
     use_pallas = on_tpu and args.pallas == "on"
+    # the cota bound (total_obs / 50 >> L) would disable the cap outright,
+    # but the world only holds ~300 landmarks: CHECKED cap mode keeps the
+    # fast cap-sliced association/filter paths and every sweep's witness
+    # verifies the survivor count stayed under it (exact-or-error)
     cfg = ICMConfig(N=args.iters, L=1024, cota=50.0, dtype="float32",
-                    use_pallas_assoc=use_pallas)
+                    use_pallas_assoc=use_pallas,
+                    map_run_cap=args.cap,
+                    map_run_cap_checked=args.cap > 0)
     data = prepare(ds, cfg)
-    # resolves obs_cap and DISABLES map_run_cap when the live-landmark
-    # bound exceeds it (the 300-landmark world would otherwise silently
-    # truncate the association search)
     cfg = resolve_config(cfg, data)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)
     seed = seed_map(data, x0, cfg)
@@ -56,21 +62,22 @@ def main():
     state, x = _init_jit(data, seed, x0, cfg)
     jax.block_until_ready(x)
     init_s = time.perf_counter() - t0
-    check_table_overflow(state.nact, cfg.L, "init sweep")
+    check_witness(jnp.stack([state.nact.astype(jnp.int32),
+                             kept_count(state, cfg.cota)]), cfg, "init sweep")
     cur = _filter_jit(state, cfg)
 
     m, xx, _ = _refine_jit(data, cur, x, cfg)  # warmup/compile
     jax.block_until_ready(xx)
     t0 = time.perf_counter()
     m, xx = cur, x
-    raw_nacts = []
+    witnesses = []
     for _ in range(args.iters):
-        m, xx, rn = _refine_jit(data, m, xx, cfg)
-        raw_nacts.append(rn)
+        m, xx, w = _refine_jit(data, m, xx, cfg)
+        witnesses.append(w)
     jax.block_until_ready(xx)
     refine_s = (time.perf_counter() - t0) / args.iters
-    for k, rn in enumerate(raw_nacts):
-        check_table_overflow(rn, cfg.L, f"refinement sweep {k}")
+    for k, w in enumerate(witnesses):
+        check_witness(w, cfg, f"refinement sweep {k}")
 
     print(json.dumps({
         "frames": args.frames, "pallas": use_pallas,

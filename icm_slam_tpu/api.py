@@ -94,7 +94,7 @@ def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
                 start_iter: int, checkpoint_dir, logger) -> ICMResult:
     import jax.numpy as jnp
     from icm_slam_tpu.mapping.landmark_map import MapState
-    from icm_slam_tpu.solver.icm import (_refine_jit, check_table_overflow,
+    from icm_slam_tpu.solver.icm import (_refine_jit, check_witness,
                                          map_change, prepare, resolve_config)
 
     data = prepare(dataset, config)
@@ -121,9 +121,11 @@ def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
     t0 = _time.perf_counter()
     for k in range(start_iter, config.N):
         prev = cur_map
-        cur_map, x, raw_nact = _refine_jit(data, prev, x, config)
-        check_table_overflow(raw_nact, config.L, f"refinement sweep {k}")
-        changes.append([float(c) for c in map_change(cur_map, prev)])
+        cur_map, x, witness = _refine_jit(data, prev, x, config)
+        check_witness(witness, config, f"refinement sweep {k}")
+        changes.append([float(c) for c in
+                        map_change(cur_map, prev,
+                                   live_cap=config.map_run_cap)])
         if checkpoint_dir:
             nact = int(cur_map.nact)
             ckpt.save(os.path.join(checkpoint_dir, f"icm_ckpt_{k}.npz"),

@@ -75,6 +75,17 @@ class ICMConfig:
                                      # (0 = full L); run() disables it when
                                      # the provable live-landmark bound
                                      # (total_obs / cota) exceeds it
+    map_run_cap_checked: bool = False  # keep the cap even when the provable
+                                     # bound exceeds it, and VERIFY at
+                                     # runtime instead: every sweep's
+                                     # surviving-landmark count is witnessed
+                                     # on-device and run() raises if one
+                                     # ever reaches the cap.  For worlds
+                                     # whose cota bound is loose but whose
+                                     # real landmark count is small (e.g.
+                                     # the 300-landmark stress world) this
+                                     # keeps the fast association + filter
+                                     # paths exact-or-error, never silent
     ba_gn_iters: int = 4             # outer GN steps per BA refinement
     ba_cg_iters: int = 12            # PCG iterations per GN step; block-
                                      # Jacobi preconditioning makes 12

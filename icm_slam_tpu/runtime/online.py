@@ -142,7 +142,7 @@ class OnlineSLAM:
                 map_counts=np.asarray(fm.counts[:nact]),
                 changes=np.zeros((0, 3)), timings={})
 
-        from icm_slam_tpu.solver.icm import (_refine_jit, check_table_overflow,
+        from icm_slam_tpu.solver.icm import (_refine_jit, check_witness,
                                              map_change, prepare,
                                              resolve_config)
         ds = Dataset(np.asarray(self._scans), np.asarray(self._odom),
@@ -157,9 +157,10 @@ class OnlineSLAM:
         t0 = _time.perf_counter()
         for k in range(n_iters):
             prev = cur_map
-            cur_map, x, rn = _refine_jit(data, prev, x, config)
-            changes.append(map_change(cur_map, prev))
-            raw.append(rn)
+            cur_map, x, w = _refine_jit(data, prev, x, config)
+            changes.append(map_change(cur_map, prev,
+                                      live_cap=config.map_run_cap))
+            raw.append(w)
             if self.verbose:
                 corr = float(jnp.sum(jnp.linalg.norm(
                     x - jnp.asarray(x_init, x.dtype), axis=1)))
@@ -167,8 +168,8 @@ class OnlineSLAM:
                       f"landmarks={int(cur_map.nact)} "
                       f"correction={corr:.4f}", flush=True)
         jax.block_until_ready(x)
-        for k, rn in enumerate(raw):
-            check_table_overflow(rn, config.L, f"refinement sweep {k}")
+        for k, w in enumerate(raw):
+            check_witness(w, config, f"refinement sweep {k}")
         nact = int(cur_map.nact)
         return ICMResult(
             x_init=x_init, x=np.asarray(x),

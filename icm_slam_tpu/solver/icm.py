@@ -85,7 +85,13 @@ def resolve_config(config: ICMConfig, data) -> ICMConfig:
                 f"per-frame valid-beam count ({cap_needed}); beam "
                 f"compaction would silently drop real observations. "
                 f"Use obs_cap=0 (auto) or >= {cap_needed}.")
-    if config.map_run_cap:
+    if config.map_run_cap and config.map_run_cap_checked:
+        # user vouches for the cap; runtime witnesses verify it (the kept-
+        # landmark count of every sweep is checked in check_witness) — keep
+        # it as-is, only drop it when it can't buy anything
+        if config.map_run_cap >= config.L:
+            config = dataclasses.replace(config, map_run_cap=0)
+    elif config.map_run_cap:
         live_bound = float(np.asarray(data.mask.sum())) / max(config.cota, 1.0)
         if live_bound + 1 >= config.map_run_cap:
             config = dataclasses.replace(config, map_run_cap=0)
@@ -117,6 +123,34 @@ def check_table_overflow(raw_nact, L: int, where: str = "sweep") -> None:
             f"but the table holds L={L}. Observations past the capacity "
             f"were silently discarded; rerun with a larger config.L "
             f"(or a higher cota / dist_thr to create fewer landmarks).")
+
+
+def kept_count(state: MapState, cota) -> jnp.ndarray:
+    """Landmarks that survive the cota prune (pre-merge), on-device.
+
+    This is the quantity every map_run_cap fast path depends on: the
+    association slice needs the NEXT sweep's frozen-map live count (==
+    post-merge count <= this) under the cap, and filter_map's live_cap
+    slice is exact iff this count fits in the slice.  Witnessed per sweep
+    so the checked-cap mode (config.map_run_cap_checked) is exact-or-error.
+    """
+    L = state.pos.shape[0]
+    live = jnp.arange(L) < state.nact
+    return jnp.sum(live & (state.counts >= cota)).astype(jnp.int32)
+
+
+def check_witness(witness, config: ICMConfig, where: str = "sweep") -> None:
+    """Host-side validation of a sweep's [raw_nact, kept_count] witness."""
+    w = np.asarray(witness)
+    check_table_overflow(w[0], config.L, where)
+    cap = config.map_run_cap
+    if cap and int(w[1]) >= cap:
+        raise RuntimeError(
+            f"map_run_cap violated in {where}: {int(w[1])} landmarks "
+            f"survive the cota prune but the fast paths only track "
+            f"map_run_cap={cap} columns — results past this point would "
+            f"be silently wrong. Rerun with a larger map_run_cap or "
+            f"map_run_cap=0 (exact full-width paths).")
 
 
 def prepare(dataset: Dataset, config: ICMConfig, dtype=None) -> SweepData:
@@ -174,9 +208,11 @@ def _init_jit(data, seed, x0, config):
 def _refine_step(data, old_map, x, config):
     """One ICM refinement iteration + map filtering (traceable body).
 
-    Returns (filtered map, poses, raw pre-filter live count).  The raw
-    count is the overflow witness: > L means labels aliased the discard
-    slot during the sweep (see check_table_overflow).
+    Returns (filtered map, poses, witness) with witness = int32
+    [raw pre-filter live count, kept-after-prune count]: the first is the
+    table-overflow witness (> L means labels aliased the discard slot),
+    the second the map_run_cap witness (>= cap means the fast cap-sliced
+    paths were inexact) — both validated host-side by check_witness.
     """
     w = weights(config)
     if config.sweep_mode == "sequential":
@@ -197,7 +233,9 @@ def _refine_step(data, old_map, x, config):
     # run on the cap-sized slice
     filtered = filter_map(state, config.cota, config.dist_thr,
                           live_cap=config.map_run_cap)
-    return filtered, x, state.nact
+    witness = jnp.stack([state.nact.astype(jnp.int32),
+                         kept_count(state, config.cota)])
+    return filtered, x, witness
 
 
 _refine_jit = functools.partial(jax.jit, static_argnames=("config",))(
@@ -218,9 +256,10 @@ def _refine_loop_jit(data, cur_map, x, config, n_iters, with_metrics=True):
     Each per-iteration `_refine_jit` call pays a host->device dispatch
     through the axon tunnel; a `lax.scan` over iterations keeps the whole
     refinement loop on-device.  Returns (final map, poses, per-iteration
-    raw live counts (n_iters,), per-iteration map_change rows (n_iters,3))
-    — the same overflow witnesses and convergence metrics the unfused
-    loop collects, computed on-device.
+    witnesses (n_iters, 2) [raw live count, kept-after-prune count],
+    per-iteration map_change rows (n_iters, 3)) — the same overflow/cap
+    witnesses and convergence metrics the unfused loop collects,
+    computed on-device.
 
     ``with_metrics=False`` skips the per-iteration L×L map_change matrix
     (changes come back as zeros) — measured ~2 ms/iter at L=1024, a real
@@ -229,23 +268,29 @@ def _refine_loop_jit(data, cur_map, x, config, n_iters, with_metrics=True):
     """
     def body(carry, _):
         cur_map, x = carry
-        filtered, x, raw_nact = _refine_step(data, cur_map, x, config)
-        chg = (map_change(filtered, cur_map) if with_metrics
-               else jnp.zeros((3,), x.dtype))
-        return (filtered, x), (raw_nact, chg)
+        filtered, x, witness = _refine_step(data, cur_map, x, config)
+        chg = (map_change(filtered, cur_map, live_cap=config.map_run_cap)
+               if with_metrics else jnp.zeros((3,), x.dtype))
+        return (filtered, x), (witness, chg)
 
-    (cur_map, x), (raw_nacts, changes) = jax.lax.scan(
+    (cur_map, x), (witnesses, changes) = jax.lax.scan(
         body, (cur_map, x), None, length=n_iters)
-    return cur_map, x, raw_nacts, changes
+    return cur_map, x, witnesses, changes
 
 
-@jax.jit
-def map_change(new_map: MapState, old_map: MapState):
-    """min/max/mean nearest-landmark displacement (ICM_SLAM.py:490-495)."""
+@functools.partial(jax.jit, static_argnames=("live_cap",))
+def map_change(new_map: MapState, old_map: MapState, live_cap: int = 0):
+    """min/max/mean nearest-landmark displacement (ICM_SLAM.py:490-495).
+
+    ``live_cap`` (static, > 0): compute on the first K rows only — exact
+    when both maps' live counts fit (both are post-filter maps, so the
+    same witness that guards map_run_cap guards this K×K slice vs L×L).
+    """
     L = new_map.pos.shape[0]
-    live_new = jnp.arange(L) < new_map.nact
-    live_old = jnp.arange(L) < old_map.nact
-    d = jnp.linalg.norm(old_map.pos[:, None, :] - new_map.pos[None, :, :],
+    K = live_cap if 0 < live_cap < L else L
+    live_new = jnp.arange(K) < new_map.nact
+    live_old = jnp.arange(K) < old_map.nact
+    d = jnp.linalg.norm(old_map.pos[:K, None, :] - new_map.pos[None, :K, :],
                         axis=-1)
     d = jnp.where(live_old[:, None] & live_new[None, :], d, jnp.inf)
     md = jnp.min(d, axis=0)
@@ -277,7 +322,9 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
     cur_map = _filter_jit(state, config)
     jax.block_until_ready(x)
     timings["init_s"] = time.perf_counter() - t0
-    check_table_overflow(state.nact, config.L, "init sweep")
+    check_witness(jnp.stack([state.nact.astype(jnp.int32),
+                             kept_count(state, config.cota)]),
+                  config, "init sweep")
     x_init = np.asarray(x)
     if on_init is not None:
         on_init(x_init)
@@ -286,20 +333,21 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
     if callback is None and not verbose:
         # no per-iteration observer -> fuse the whole refinement loop
         # into one device program (no per-iteration tunnel dispatch)
-        cur_map, x, raw_nacts, changes = _refine_loop_jit(
+        cur_map, x, witnesses, changes = _refine_loop_jit(
             data, cur_map, x, config, n_iters)
         jax.block_until_ready(x)
-        raw_nacts = list(np.asarray(raw_nacts)) if n_iters else []
+        witnesses = list(np.asarray(witnesses)) if n_iters else []
         changes = np.asarray(changes).tolist()
     else:
         changes = []
-        raw_nacts = []
+        witnesses = []
         for k in range(n_iters):
             prev_map = cur_map
-            cur_map, x, raw_nact = _refine_jit(data, prev_map, x, config)
+            cur_map, x, witness = _refine_jit(data, prev_map, x, config)
             # device-side metrics; host sync deferred to the loop's end
-            changes.append(map_change(cur_map, prev_map))
-            raw_nacts.append(raw_nact)
+            changes.append(map_change(cur_map, prev_map,
+                                      live_cap=config.map_run_cap))
+            witnesses.append(witness)
             if callback is not None:
                 callback(k, cur_map, x)
             if verbose:
@@ -311,8 +359,8 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
         jax.block_until_ready(x)
     timings["refine_s"] = time.perf_counter() - t0
     timings["refine_per_iter_s"] = timings["refine_s"] / max(n_iters, 1)
-    for k, rn in enumerate(raw_nacts):
-        check_table_overflow(rn, config.L, f"refinement sweep {k}")
+    for k, w in enumerate(witnesses):
+        check_witness(w, config, f"refinement sweep {k}")
 
     nact = int(cur_map.nact)
     return ICMResult(

@@ -82,6 +82,42 @@ def test_map_run_cap_shrinks_to_bound_and_stays_exact():
                                   np.asarray(m_b.pos[:128]))
 
 
+def test_checked_cap_kept_and_verified():
+    # map_run_cap_checked keeps the cap even when the cota bound is loose,
+    # runs the fast cap-sliced paths, and the per-sweep witness proves the
+    # result equals the full-width program
+    from icm_slam_tpu.solver.icm import run as icm_run
+
+    ds = synthetic_world(T=200, n_landmarks=15, seed=7)
+    loose = ICMConfig(N=2, L=512, cota=2.0, map_run_cap=128,
+                      map_run_cap_checked=True)
+    data = prepare(ds, loose)
+    rc = resolve_config(loose, data)
+    bound = float(np.asarray(data.mask.sum())) / loose.cota
+    assert bound > 128, "fixture: the provable bound must be loose"
+    assert rc.map_run_cap == 128  # kept, not disabled
+
+    res_checked = icm_run(ds, loose)
+    res_full = icm_run(ds, dataclasses.replace(loose, map_run_cap=0,
+                                               map_run_cap_checked=False))
+    assert res_checked.map_pos.shape == res_full.map_pos.shape
+    np.testing.assert_allclose(res_checked.x, res_full.x, atol=1e-5)
+    np.testing.assert_allclose(res_checked.map_pos, res_full.map_pos,
+                               atol=1e-5)
+
+
+def test_checked_cap_violation_raises():
+    # a world with more surviving landmarks than the checked cap: the
+    # witness must trip instead of silently truncating the map
+    from icm_slam_tpu.solver.icm import run as icm_run
+
+    ds = synthetic_world(T=300, n_landmarks=60, world_size=60.0, seed=8)
+    cfg = ICMConfig(N=1, L=512, cota=1.0, map_run_cap=16,
+                    map_run_cap_checked=True)
+    with pytest.raises(RuntimeError, match="map_run_cap violated"):
+        icm_run(ds, cfg)
+
+
 def test_check_table_overflow_raises():
     with pytest.raises(RuntimeError, match="overflow"):
         check_table_overflow(jnp.asarray(10, jnp.int32), 8, "test sweep")

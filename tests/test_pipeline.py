@@ -42,7 +42,12 @@ def test_pipelined_refine_matches_barrier(ijac, chunk):
     from icm_slam_tpu.solver.sweeps import refine_sweep_batched
 
     ds = ijac.slice(201)
-    cfg = ICMConfig(N=1, L=256, dtype="float32")
+    # map_run_cap=0: this test isolates the SCHEDULE (pipeline vs barrier);
+    # the cap-sliced fast paths have their own bitwise equivalence test
+    # (test_guards.test_map_run_cap_shrinks_to_bound_and_stays_exact), and
+    # a borderline LM accept/reject flips under the cap's different f32
+    # reduction shapes, amplifying the schedule comparison past tolerance
+    cfg = ICMConfig(N=1, L=256, dtype="float32", map_run_cap=0)
     data = prepare(ds, cfg)
     cfg = resolve_config(cfg, data)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)
