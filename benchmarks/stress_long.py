@@ -20,9 +20,12 @@ def main():
     ap.add_argument("--pallas", choices=["auto", "on", "off"], default="auto",
                     help="force the Pallas association kernel on/off "
                          "(the VERDICT #7 A/B at stress scale)")
-    ap.add_argument("--cap", type=int, default=512,
+    ap.add_argument("--cap", type=int, default=128,
                     help="map_run_cap in CHECKED mode (runtime-witnessed, "
-                         "exact-or-error); 0 = full-width paths")
+                         "exact-or-error: an undersized cap raises instead "
+                         "of truncating); 0 = full-width paths.  TPU A/B "
+                         "medians at 20k frames: 203.8 ms/iter at 128, "
+                         "247.7 at 512, 264.8 full-width")
     args = ap.parse_args()
 
     import jax

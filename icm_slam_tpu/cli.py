@@ -36,6 +36,13 @@ def _add_common(ap):
                     help="use the Pallas correspondence kernel (opt-in; "
                          "measured neutral vs XLA fusion at all tested "
                          "scales)")
+    ap.add_argument("--map-cap", type=int, default=None, metavar="K",
+                    help="map_run_cap override; with --checked-cap the cap "
+                         "is kept under a runtime witness (exact-or-error) "
+                         "even when the cota bound cannot prove it")
+    ap.add_argument("--checked-cap", action="store_true",
+                    help="verify map_run_cap at runtime instead of the "
+                         "provable total_obs/cota bound")
     ap.add_argument("--plot-live", action="store_true",
                     help="re-plot trajectory + map after every ICM "
                          "iteration (reference per-iteration plotting)")
@@ -60,6 +67,10 @@ def _build(args):
         overrides["N"] = args.iters
     if args.mode:
         overrides["sweep_mode"] = args.mode
+    if args.map_cap is not None:
+        overrides["map_run_cap"] = args.map_cap
+    if args.checked_cap:
+        overrides["map_run_cap_checked"] = True
     if args.pallas:
         # opt-in only: measured neutral vs XLA's fused association at both
         # reference scale (62.5 vs 63.1 ms/iter) and 20k-frame stress scale
