@@ -1,0 +1,48 @@
+"""Full-depth profile matrix: both datasets × both throughput profiles.
+
+Every performance profile the benchmarks quote must hold full-run quality
+(ATE < 0.1 m vs the oracle golden, exact landmark census).  This matrix
+is the regression gate that catches profile-dependent init/sweep
+interactions — e.g. init_chunk_len=48 passed the 2-pass default but lost
+a landmark at the 1-pass fast profile (docs/RESULTS.md, chunk sweep).
+"""
+import os
+
+import numpy as np
+import pytest
+
+from icm_slam_tpu.config import ICMConfig
+from icm_slam_tpu.solver.icm import run
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+PALOMAR = "/root/reference/scripts/datos_palomar1.mat"
+
+PROFILES = {"fast": dict(pose_passes=1, pose_gn_iters=6),
+            "default": dict(pose_passes=2, pose_gn_iters=8)}
+
+
+def _check(res, golden):
+    gx = golden["x"].T
+    ate = float(np.mean(np.linalg.norm(res.x[:, :2] - gx[:, :2], axis=1)))
+    assert ate < 0.10, f"ATE {ate:.4f}"
+    assert res.map_pos.shape[0] == golden["map"].shape[1], \
+        (res.map_pos.shape[0], golden["map"].shape[1])
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("profile", sorted(PROFILES))
+def test_ijac_full_depth(ijac, golden_full, profile):
+    res = run(ijac, ICMConfig(N=30, L=1024, **PROFILES[profile]))
+    _check(res, golden_full)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("profile", sorted(PROFILES))
+def test_palomar_full_depth(profile):
+    path = os.path.join(GOLDEN_DIR, "palomar_T1833_N30_inconsistent.npz")
+    if not (os.path.exists(path) and os.path.exists(PALOMAR)):
+        pytest.skip("palomar data/golden not present")
+    from icm_slam_tpu.data.datasets import load_palomar
+    res = run(load_palomar(PALOMAR), ICMConfig(N=30, L=1024,
+                                               **PROFILES[profile]))
+    _check(res, np.load(path))
