@@ -173,10 +173,15 @@ def filter_map(state: MapState, cota, dist_thr, live_cap: int = 0
     idx = jnp.arange(L)
     live = idx < state.nact
     keep = live & (state.counts >= cota)
-    # stable compaction: kept landmarks first, original order preserved
-    order = jnp.argsort(jnp.where(keep, idx, L + idx))
-    pos = state.pos[order][:K]
-    counts = state.counts[order][:K]
+    # stable compaction: kept landmarks first, original order preserved.
+    # cumsum target + drop-mode scatter, not an L-element argsort (a
+    # bitonic sort is ~log^2 L sequential rounds on TPU for the same
+    # result)
+    tgt = jnp.where(keep, jnp.cumsum(keep) - 1, K)
+    pos = jnp.zeros((K, 2), state.pos.dtype).at[tgt].set(
+        state.pos, mode="drop")
+    counts = jnp.zeros((K,), state.counts.dtype).at[tgt].set(
+        state.counts, mode="drop")
     n = jnp.sum(keep).astype(jnp.int32)
     idx_k = jnp.arange(K)
     live_k = idx_k < n
@@ -201,7 +206,14 @@ def filter_map(state: MapState, cota, dist_thr, live_cap: int = 0
         new = jnp.where(close[i] & (lab == tgt), lab[i], lab)
         return jnp.where(close[i], new, lab)
 
-    lab = jax.lax.fori_loop(0, K, relabel_body, idx_k.astype(jnp.int32))
+    # the sequential loop is identity when nothing is close (every body
+    # iteration no-ops) — the common steady-state case once duplicates
+    # are merged away; skip its K latency-bound steps then
+    lab = jax.lax.cond(
+        jnp.any(close),
+        lambda: jax.lax.fori_loop(0, K, relabel_body,
+                                  idx_k.astype(jnp.int32)),
+        lambda: idx_k.astype(jnp.int32))
     lab = compact_labels(lab, live_k, K)
     n_final = jnp.where(n > 0, jnp.max(jnp.where(live_k, lab, -1)) + 1, 0)
 
