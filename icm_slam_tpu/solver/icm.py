@@ -100,8 +100,12 @@ def resolve_config(config: ICMConfig, data) -> ICMConfig:
             # exactness needs only nact < cap, and live landmarks can never
             # exceed total_obs / cota.  Halving 256 -> 128 halves the
             # K-step sequential relabel loop in filter_map and every
-            # cap-wide segment-sum (128 = one TPU lane tile).
-            tight = max(128, -(-int(live_bound + 2) // 128) * 128)
+            # cap-wide segment-sum (128 = one TPU lane tile).  The Pallas
+            # association kernel tiles reference columns in 256s, so its
+            # opt-in keeps the wider alignment instead of silently losing
+            # the kernel.
+            align = 256 if config.use_pallas_assoc else 128
+            tight = max(align, -(-int(live_bound + 2) // align) * align)
             if tight < config.map_run_cap:
                 config = dataclasses.replace(config, map_run_cap=tight)
     return config

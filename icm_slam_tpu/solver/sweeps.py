@@ -570,8 +570,11 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
 
     if config.use_pallas_assoc and Lr % 256 == 0:
         from icm_slam_tpu.ops.assoc_pallas import nearest_landmark
-        nearest_lab, min_dist = nearest_landmark(pts, ref_pos,
-                                                 old_map.nact)
+        # Mosaic compiles only for TPU; elsewhere the opt-in still honors
+        # the kernel contract through the (slow) interpreter.
+        nearest_lab, min_dist = nearest_landmark(
+            pts, ref_pos, old_map.nact,
+            interpret=jax.default_backend() != "tpu")
         lab = jnp.where(min_dist > dist_thr, -1, nearest_lab)
         lab = jnp.where(data.mask, lab, L)                   # (T, B)
     else:

@@ -82,6 +82,19 @@ def test_map_run_cap_shrinks_to_bound_and_stays_exact():
                                   np.asarray(m_b.pos[:128]))
 
 
+def test_map_run_cap_shrink_keeps_pallas_alignment():
+    # the opt-in Pallas association kernel tiles reference columns in 256s
+    # (ops/assoc_pallas.py CHUNK_L; sweeps.py only dispatches when the
+    # width is a 256-multiple) — with use_pallas_assoc the shrink must not
+    # produce a 128 cap that would silently drop the requested kernel
+    ds = synthetic_world(T=300, n_landmarks=20, seed=3)
+    cfg = ICMConfig(N=1, L=512, cota=40.0, map_run_cap=512,
+                    use_pallas_assoc=True)
+    data = prepare(ds, cfg)
+    out = resolve_config(cfg, data)
+    assert out.map_run_cap % 256 == 0 and out.map_run_cap == 256
+
+
 def test_checked_cap_kept_and_verified():
     # map_run_cap_checked keeps the cap even when the cota bound is loose,
     # runs the fast cap-sliced paths, and the per-sweep witness proves the
