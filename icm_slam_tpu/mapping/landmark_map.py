@@ -208,11 +208,19 @@ def filter_map(state: MapState, cota, dist_thr, live_cap: int = 0
 
     # the sequential loop is identity when nothing is close (every body
     # iteration no-ops) — the common steady-state case once duplicates
-    # are merged away; skip its K latency-bound steps then
+    # are merged away; skip its K latency-bound steps then.  When it does
+    # run, walk only the live rows: close[i] is False for every i >= n
+    # (live_k masks it), so the remaining K - n iterations are provably
+    # identity and the latency-bound walk stops at the dynamic live count
+    def relabel_walk(c):
+        i, lab = c
+        return i + 1, relabel_body(i, lab)
+
     lab = jax.lax.cond(
         jnp.any(close),
-        lambda: jax.lax.fori_loop(0, K, relabel_body,
-                                  idx_k.astype(jnp.int32)),
+        lambda: jax.lax.while_loop(
+            lambda c: c[0] < n, relabel_walk,
+            (jnp.int32(0), idx_k.astype(jnp.int32)))[1],
         lambda: idx_k.astype(jnp.int32))
     lab = compact_labels(lab, live_k, K)
     n_final = jnp.where(n > 0, jnp.max(jnp.where(live_k, lab, -1)) + 1, 0)
