@@ -10,7 +10,7 @@ frames/s per ICM iteration on one CPU core.  vs_baseline = ours / 127.
 Runs the production configuration (float32, batched red-black sweep,
 L=1024) on the full 1833-frame dataset; compile time excluded by warmup.
 Default knobs = the validated fast profile (1 red-black pair, 6 LM
-iterations: ATE 0.030 m vs the reference golden, landmark census 11/11 —
+iterations: ATE 0.037 m vs the reference golden, landmark census 11/11 —
 tools/validate_golden.py); --passes 2 --gn-iters 8 is the conservative
 engine default (ATE 0.016 m).  The JSON line self-reports the benchmarked
 trajectory's ATE vs the golden trace.
@@ -51,13 +51,19 @@ def main(argv=None):
     ap.add_argument("--dataset", default="ijac2018",
                     help="ijac2018 | palomar")
     ap.add_argument("--mode", default="batched")
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=30,
+                    help="sweeps per timed loop call (30 = the reference "
+                         "config's own N; also amortizes the ~10-30 ms "
+                         "per-call tunnel dispatch jitter)")
+    ap.add_argument("--reps", type=int, default=5,
+                    help="timed loop calls (chained state); the reported "
+                         "time is the median rep")
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--passes", type=int, default=1,
                     help="red-black half-pass pairs per sweep (1 = the "
-                         "validated fast profile, ATE 0.030 m; 2 = the "
+                         "validated fast profile, ATE 0.037 m; 2 = the "
                          "conservative engine default, ATE 0.016 m)")
     ap.add_argument("--gn-iters", type=int, default=6,
                     help="LM iterations per pose solve (6 fast / 8 default)")
@@ -114,28 +120,42 @@ def main(argv=None):
                                       with_metrics=False)
     jax.block_until_ready(x_w)
 
-    # chain the timed call on the warmup's OUTPUT (same-input repeats are
-    # memoized by the runtime and time ~0.03 ms — see CLAUDE.md)
-    t0 = time.perf_counter()
-    m, xx, _, _ = _refine_loop_jit(data, m_w, x_w, cfg, args.iters,
-                                   with_metrics=False)
-    jax.block_until_ready(xx)
-    refine_s = (time.perf_counter() - t0) / args.iters
+    # chain every timed call on the previous call's OUTPUT (same-input
+    # repeats are memoized by the runtime and time ~0.03 ms — see
+    # CLAUDE.md); report the MEDIAN rep: single calls through the tunnel
+    # see ~10-30 ms dispatch hiccups that a median absorbs
+    m, xx = m_w, x_w
+    rep_s = []
+    for _ in range(max(1, args.reps)):
+        # fresh device buffer even at a bitwise fixed point (subnormal
+        # flushes to zero on TPU; value-identical, defeats buffer
+        # memoization)
+        x_in = xx + jnp.asarray(1e-30, xx.dtype)
+        jax.block_until_ready(x_in)
+        t0 = time.perf_counter()
+        m, xx, _, _ = _refine_loop_jit(data, m, x_in, cfg, args.iters,
+                                       with_metrics=False)
+        jax.block_until_ready(xx)
+        rep_s.append(time.perf_counter() - t0)
+    rep_s.sort()
+    refine_s = rep_s[len(rep_s) // 2] / args.iters
 
     fps = T / refine_s
 
     # quality self-check: converge to the reference's N=30 (the timed loop
-    # above may stop earlier) and report ATE vs the golden trace from the
-    # bitwise-verified reference oracle (full dataset only)
+    # may run a different count) and report ATE vs the golden trace from
+    # the bitwise-verified reference oracle (full dataset only).  The
+    # warmup output is exactly args.iters sweeps past init, the closest
+    # state to 30 we hold; top it up per-iteration if short.
     ate = None
     gp = None if args.frames else _golden_path(args.dataset)
     if gp:
         import numpy as np
-        # warmup + timed loop each advanced the state args.iters sweeps
-        for _ in range(max(0, 30 - 2 * args.iters)):
-            m, xx, _ = _refine_jit(data, m, xx, cfg)
+        m30, x30 = m_w, x_w
+        for _ in range(max(0, 30 - args.iters)):
+            m30, x30, _ = _refine_jit(data, m30, x30, cfg)
         gx = np.load(gp)["x"].T
-        xn = np.asarray(xx)
+        xn = np.asarray(x30)
         ate = float(np.mean(np.linalg.norm(xn[:, :2] - gx[:, :2], axis=1)))
 
     if args.verbose:
