@@ -52,7 +52,13 @@ class ICMConfig:
                                      # whenever the sweep is batched and the
                                      # default kinematics/quirk apply, else
                                      # the faithful sequential scan
-    init_rounds: int = 3             # Picard rounds per chunk (batched init)
+    init_rounds: int = 2             # Picard rounds per chunk (batched init).
+                                     # Validated at N=30 on both datasets ×
+                                     # both profiles: R=2 matches or beats
+                                     # R=3's refined ATE (0.017-0.035 vs
+                                     # 0.016-0.037, census 11/11) at ~20 ms
+                                     # less init; R=1 keeps the census but
+                                     # costs real margin (ATE 0.05-0.06)
     init_chunk_len: int = 32         # frames per chunk of the batched init.
                                      # 48 is faster (85 -> 59 ms) and wins
                                      # at the 2-pass engine default, but its
