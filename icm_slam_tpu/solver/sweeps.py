@@ -205,8 +205,10 @@ def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
       cumulative sums.
 
     Within-chunk drift (<= C frames from a converged anchor pose) is small,
-    so 2-3 rounds converge; parity with the oracle init is at the ATE
-    level, like every engine-vs-oracle comparison (see tests/test_e2e.py).
+    so 2 rounds converge (the validated default; R=3 measured no better
+    refined ATE on either dataset at either profile); parity with the
+    oracle init is at the ATE level, like every engine-vs-oracle
+    comparison (see tests/test_e2e.py).
 
     Requires the default unicycle kinematics (the dead-reckon fill encodes
     them) and the replicate_new_obs quirk; ``_init_jit`` falls back to the
