@@ -108,12 +108,44 @@ def test_filter_live_cap_exact():
         jnp.asarray(rng.integers(1, 30, n_live), jnp.float32))
     state = lm.MapState(pos, counts, jnp.asarray(n_live, jnp.int32))
     full = lm.filter_map(state, 3.0, 1.0)
-    capped = lm.filter_map(state, 3.0, 1.0, live_cap=64)
+    # live_cap must be < L to actually take the sliced path (K = live_cap)
+    capped = lm.filter_map(state, 3.0, 1.0, live_cap=48)
     assert int(full.nact) == int(capped.nact)
-    np.testing.assert_array_equal(np.asarray(full.pos),
-                                  np.asarray(capped.pos))
-    np.testing.assert_array_equal(np.asarray(full.counts),
-                                  np.asarray(capped.counts))
+    np.testing.assert_array_equal(np.asarray(full.pos[:48]),
+                                  np.asarray(capped.pos[:48]))
+    np.testing.assert_array_equal(np.asarray(full.counts[:48]),
+                                  np.asarray(capped.counts[:48]))
+    # rows past K are zero-padded in the sliced variant, dead in both
+    assert not np.any(np.asarray(capped.pos[48:]))
+
+
+def test_filter_relabel_walk_ignores_dead_rows():
+    """The relabel walk stops at the dynamic live count.
+
+    Rows past nact (and rows pruned by cota) must not influence the merge
+    even when their stale coordinates sit within dist_thr of live
+    landmarks — the walk's early cut is exact because close[] masks dead
+    rows, so iterations past the live count are identity.
+    """
+    pos = jnp.zeros((L, 2), jnp.float64)
+    pos = pos.at[0].set(jnp.array([0.0, 0.0]))
+    pos = pos.at[1].set(jnp.array([0.5, 0.0]))   # merges with 0
+    pos = pos.at[2].set(jnp.array([10.0, 0.0]))
+    # dead rows: duplicates of live landmarks, both just past nact and in
+    # the pruned-by-cota slot — visiting any of them would change counts
+    pos = pos.at[3].set(jnp.array([10.1, 0.0]))  # pruned (count < cota)
+    pos = pos.at[4].set(jnp.array([0.1, 0.0]))   # past nact entirely
+    pos = pos.at[5].set(jnp.array([9.9, 0.0]))   # past nact entirely
+    counts = jnp.zeros((L,), jnp.float64).at[:4].set(
+        jnp.array([4.0, 2.0, 7.0, 0.5]))
+    state = lm.MapState(pos, counts, jnp.asarray(4, jnp.int32))
+    out = lm.filter_map(state, 1.0, 1.0)
+    assert int(out.nact) == 2
+    np.testing.assert_allclose(np.asarray(out.pos[0]),
+                               [0.5 * 2 / 6, 0.0], atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.pos[1]), [10.0, 0.0],
+                               atol=1e-12)
+    np.testing.assert_allclose(np.asarray(out.counts[:2]), [6.0, 7.0])
 
 
 def test_connected_components():
