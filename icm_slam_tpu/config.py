@@ -92,6 +92,16 @@ class ICMConfig:
                                      # the 300-landmark stress world) this
                                      # keeps the fast association + filter
                                      # paths exact-or-error, never silent
+    assoc_onehot_max_elems: int = 32_000_000
+                                     # size gate for the one-hot-matmul
+                                     # running-mean build in the batched
+                                     # sweep: used when T*B*(cap+1) fits
+                                     # (MXU contraction beats the scatter
+                                     # segment-sums at reference scale,
+                                     # 5.4 -> 4.3 ms/iter), else the
+                                     # scatter path (the materialized
+                                     # one-hot is HBM poison at 20k-frame
+                                     # stress scale).  0 disables one-hot.
     ba_gn_iters: int = 4             # outer GN steps per BA refinement
     ba_cg_iters: int = 12            # PCG iterations per GN step; block-
                                      # Jacobi preconditioning makes 12

@@ -615,17 +615,40 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
 
             lab_old = jnp.where(far | (lab >= cap_l), cap_l, lab)
 
-            def frame_sums_small(px, py, l, wi):
-                sx = jax.ops.segment_sum(px * wi, l,
-                                         num_segments=cap_l + 1)[:cap_l]
-                sy = jax.ops.segment_sum(py * wi, l,
-                                         num_segments=cap_l + 1)[:cap_l]
-                c = jax.ops.segment_sum(wi, l,
-                                        num_segments=cap_l + 1)[:cap_l]
-                return sx, sy, c
+            if T * B * (cap_l + 1) <= config.assoc_onehot_max_elems:
+                # one-hot matmul instead of 3 vmapped scatter segment-sums:
+                # the (B, cap+1) one-hot product rides the MXU in one fused
+                # batched contraction, while scatter-add serializes
+                # duplicate indices (ABLATION-measured: the assoc+map block
+                # dominates the sweep once solves/filter are cheap;
+                # 5.4 -> 4.3 ms/iter at reference scale).  Size-gated: the
+                # materialized (T, B, cap+1) one-hot is HBM-bandwidth
+                # poison at stress scale (20k frames timed out), where the
+                # scatters win.
+                oh = (lab_old[..., None] ==
+                      jnp.arange(cap_l + 1)).astype(dtype)   # (T, B, cap+1)
+                vals = jnp.stack([pts[..., 0] * w, pts[..., 1] * w, w],
+                                 axis=-1)                    # (T, B, 3)
+                # HIGHEST: TPU's default matmul precision is bf16 inputs,
+                # which would quantize landmark coordinates to ~3 digits;
+                # with exact 0/1 one-hots full f32 keeps each product exact
+                sums = jnp.einsum('tbc,tbv->tvc', oh, vals,
+                                  precision=jax.lax.Precision.HIGHEST)
+                sx = sums[:, 0, :cap_l]
+                sy = sums[:, 1, :cap_l]
+                cnts = sums[:, 2, :cap_l]                    # (T, cap_l)
+            else:
+                def frame_sums_small(px, py, l, wi):
+                    ssx = jax.ops.segment_sum(px * wi, l,
+                                              num_segments=cap_l + 1)[:cap_l]
+                    ssy = jax.ops.segment_sum(py * wi, l,
+                                              num_segments=cap_l + 1)[:cap_l]
+                    c = jax.ops.segment_sum(wi, l,
+                                            num_segments=cap_l + 1)[:cap_l]
+                    return ssx, ssy, c
 
-            sx, sy, cnts = jax.vmap(frame_sums_small)(
-                pts[..., 0], pts[..., 1], lab_old, w)        # (T, cap_l)
+                sx, sy, cnts = jax.vmap(frame_sums_small)(
+                    pts[..., 0], pts[..., 1], lab_old, w)    # (T, cap_l)
             cum_cnt = jnp.cumsum(cnts, axis=0)
             denom = jnp.maximum(cum_cnt, 1.0)
             run_x = jnp.cumsum(sx, axis=0) / denom

@@ -196,3 +196,35 @@ def test_run_detects_table_overflow():
     cfg = ICMConfig(N=1, L=4, cota=2.0, map_run_cap=0)
     with pytest.raises(RuntimeError, match="overflow"):
         run(ds, cfg)
+
+
+def test_assoc_onehot_and_scatter_paths_agree():
+    """The one-hot-matmul running-mean build == the scatter segment-sums.
+
+    batched_associate picks between them by assoc_onehot_max_elems (a pure
+    latency/bandwidth trade, docs/RESULTS.md); both must produce the same
+    sweep.  Counts are integral sums of 0/1 weights (exact in f32 either
+    way); positions may differ by accumulation order only.
+    """
+    from icm_slam_tpu.solver.icm import _refine_jit, seed_map, weights
+    ds = synthetic_world(T=220, n_landmarks=14, seed=5)
+    base = dict(N=1, L=256, cota=5.0, map_run_cap=128)
+    cfg_oh = ICMConfig(**base)                              # one-hot path
+    cfg_sc = ICMConfig(**base, assoc_onehot_max_elems=0)    # scatter path
+    data = prepare(ds, cfg_oh)
+    cfg_oh = resolve_config(cfg_oh, data)
+    cfg_sc = resolve_config(cfg_sc, data)
+    assert cfg_oh.map_run_cap == cfg_sc.map_run_cap
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    seed = seed_map(data, x0, cfg_oh)
+    x = jnp.asarray(ds.odom, data.dist.dtype)
+    m_oh, x_oh, w_oh = _refine_jit(data, seed, x, cfg_oh)
+    m_sc, x_sc, w_sc = _refine_jit(data, seed, x, cfg_sc)
+    np.testing.assert_array_equal(np.asarray(w_oh), np.asarray(w_sc))
+    assert int(m_oh.nact) == int(m_sc.nact)
+    np.testing.assert_array_equal(np.asarray(m_oh.counts),
+                                  np.asarray(m_sc.counts))
+    np.testing.assert_allclose(np.asarray(m_oh.pos), np.asarray(m_sc.pos),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(x_oh), np.asarray(x_sc),
+                               atol=1e-4)
