@@ -21,6 +21,19 @@ REF_DATA = "/root/reference/scripts/data_IJAC2018.mat"
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables between test modules.
+
+    XLA:CPU in this environment segfaults inside backend_compile after
+    ~85 tests' worth of accumulated live executables in one process
+    (deterministic at the same test index across runs; every module
+    passes in isolation).  Capping the live-executable count avoids the
+    crasher at the cost of some recompilation."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def ijac():
     from icm_slam_tpu.data.datasets import load_ijac2018
