@@ -249,12 +249,28 @@ def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
     u_prev = pad_c(data.u[0:T - 1]).reshape(nc, C, 2)
     odom_prev = pad_c(data.odom[0:T - 1]).reshape(nc, C, 3)
 
-    def frame_sums(px, py, l, wi):
-        lc = jnp.minimum(l, L)
-        sx = jax.ops.segment_sum(px * wi, lc, num_segments=L + 1)[:L]
-        sy = jax.ops.segment_sum(py * wi, lc, num_segments=L + 1)[:L]
-        c = jax.ops.segment_sum(wi, lc, num_segments=L + 1)[:L]
-        return sx, sy, c
+    if 0 < C * B * (L + 1) <= config.assoc_onehot_max_elems:
+        # one-hot matmul per chunk: the init is latency-bound (a ~T/C-step
+        # sequential scan of small ops), so collapsing 3 vmapped scatter
+        # segment-sums into one MXU contraction shortens each round's
+        # dependency chain; HIGHEST keeps f32 coordinates exact (TPU
+        # default matmul precision is bf16 inputs)
+        def batched_frame_sums(px, py, l, wi):
+            lc = jnp.minimum(l, L)
+            oh = (lc[..., None] == jnp.arange(L + 1)).astype(dtype)
+            vals = jnp.stack([px * wi, py * wi, wi], axis=-1)   # (C, B, 3)
+            s = jnp.einsum('cbl,cbv->cvl', oh, vals,
+                           precision=jax.lax.Precision.HIGHEST)
+            return s[:, 0, :L], s[:, 1, :L], s[:, 2, :L]
+    else:
+        def frame_sums(px, py, l, wi):
+            lc = jnp.minimum(l, L)
+            sx = jax.ops.segment_sum(px * wi, lc, num_segments=L + 1)[:L]
+            sy = jax.ops.segment_sum(py * wi, lc, num_segments=L + 1)[:L]
+            c = jax.ops.segment_sum(wi, lc, num_segments=L + 1)[:L]
+            return sx, sy, c
+
+        batched_frame_sums = jax.vmap(frame_sums)
 
     def chunk_body(carry, inp):
         base_sx, base_sy, base_cnt, nact, x_last = carry
@@ -321,9 +337,9 @@ def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
             fixed point (at convergence the snapshots coincide).
             """
             wgt = (lab_prev < L).astype(dtype)
-            sx, sy, cnt = jax.vmap(frame_sums)(pts_prev[..., 0],
-                                               pts_prev[..., 1],
-                                               lab_prev, wgt)
+            sx, sy, cnt = batched_frame_sums(pts_prev[..., 0],
+                                             pts_prev[..., 1],
+                                             lab_prev, wgt)
             # EXCLUSIVE prefix: the table as each frame sees it
             csx = base_sx[None] + jnp.cumsum(sx, 0) - sx     # (C, L)
             csy = base_sy[None] + jnp.cumsum(sy, 0) - sy
@@ -346,8 +362,8 @@ def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
 
             # matched = anchored exclusive mass + own current contribution
             wgt_c = (lab < L).astype(dtype)
-            osx, osy, ocn = jax.vmap(frame_sums)(pts[..., 0], pts[..., 1],
-                                                 lab, wgt_c)
+            osx, osy, ocn = batched_frame_sums(pts[..., 0], pts[..., 1],
+                                               lab, wgt_c)
             rx = (csx + osx) / jnp.maximum(ccn + ocn, 1.0)
             ry = (csy + osy) / jnp.maximum(ccn + ocn, 1.0)
             lab_cl = jnp.clip(lab, 0, L - 1)
