@@ -55,13 +55,12 @@ def lm_minimize(resid_fn, x0, iters=12, lam0=1e-4, lam_down=0.25,
     if jac_fn is None:
         jac_fn = jax.jacfwd(resid_fn)
 
-    def f(x):
-        r = resid_fn(x)
-        return jnp.sum(r * r)
-
+    # the residual at the ACCEPTED point rides the carry: the trial
+    # point's residual doubles as the next iteration's linearization
+    # residual on accept, so each LM step evaluates resid_fn once, not
+    # twice (bitwise-identical — the same deterministic value either way)
     def step(carry, _):
-        x, lam, fx = carry
-        r = resid_fn(x)
+        x, lam, fx, r = carry
         J = jac_fn(x)
         g = J.T @ r
         H = J.T @ J
@@ -70,16 +69,20 @@ def lm_minimize(resid_fn, x0, iters=12, lam0=1e-4, lam_down=0.25,
         delta = (_solve3(A, -g) if closed_form and n == 3
                  else jnp.linalg.solve(A, -g))
         x_new = x + delta
-        f_new = f(x_new)
+        r_new = resid_fn(x_new)
+        f_new = jnp.sum(r_new * r_new)
         better = f_new < fx
         x = jnp.where(better, x_new, x)
         fx = jnp.where(better, f_new, fx)
+        r = jnp.where(better, r_new, r)
         lam = jnp.where(better, lam * lam_down, lam * lam_up)
-        return (x, lam, fx), None
+        return (x, lam, fx, r), None
 
     # NOTE: unroll=True was measured a net loss — the fused sweep jit's
     # compile blows up (CPU suite 245 s -> >420 s; remote TPU compile
     # minutes) for no observed step-time win; keep the rolled scan.
-    (x, _, _), _ = jax.lax.scan(
-        step, (x0, jnp.asarray(lam0, x0.dtype), f(x0)), None, length=iters)
+    r0 = resid_fn(x0)
+    (x, _, _, _), _ = jax.lax.scan(
+        step, (x0, jnp.asarray(lam0, x0.dtype), jnp.sum(r0 * r0), r0),
+        None, length=iters)
     return x
