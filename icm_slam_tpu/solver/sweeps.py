@@ -650,9 +650,7 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
                 # with exact 0/1 one-hots full f32 keeps each product exact
                 sums = jnp.einsum('tbc,tbv->tvc', oh, vals,
                                   precision=jax.lax.Precision.HIGHEST)
-                sx = sums[:, 0, :cap_l]
-                sy = sums[:, 1, :cap_l]
-                cnts = sums[:, 2, :cap_l]                    # (T, cap_l)
+                sums = sums[:, :, :cap_l]                    # (T, 3, cap_l)
             else:
                 def frame_sums_small(px, py, l, wi):
                     ssx = jax.ops.segment_sum(px * wi, l,
@@ -665,10 +663,17 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
 
                 sx, sy, cnts = jax.vmap(frame_sums_small)(
                     pts[..., 0], pts[..., 1], lab_old, w)    # (T, cap_l)
-            cum_cnt = jnp.cumsum(cnts, axis=0)
+                sums = jnp.stack([sx, sy, cnts], axis=1)     # (T, 3, cap_l)
+            # one fused (T, 3, cap) prefix sum instead of three (T, cap)
+            # ones — the running means are per-plane prefix sums either
+            # way (bitwise-identical), this just cuts op count in the
+            # latency-bound sweep body.  Layout stays lane-friendly:
+            # cap_l (a 128-multiple) rides the lane axis.
+            cums = jnp.cumsum(sums, axis=0)                  # (T, 3, cap_l)
+            cum_cnt = cums[:, 2]
             denom = jnp.maximum(cum_cnt, 1.0)
-            run_x = jnp.cumsum(sx, axis=0) / denom
-            run_y = jnp.cumsum(sy, axis=0) / denom
+            run_x = cums[:, 0] / denom
+            run_y = cums[:, 1] / denom
 
             lab_c = jnp.clip(lab, 0, cap_l - 1)
             mx = jnp.take_along_axis(run_x, lab_c, axis=1)
