@@ -71,6 +71,15 @@ class ICMConfig:
     pose_passes: int = 2             # red-black half-pass pairs per batched sweep
     replicate_new_obs_quirk: bool = True  # ICM_SLAM.py:176 empty-slice quirk
     use_pallas_assoc: bool = False   # fused TPU correspondence kernel
+    use_pallas_fused_assoc: bool = False
+                                     # one-kernel association + per-frame
+                                     # landmark sums (ops/assoc_sums_pallas)
+                                     # on the capped quirk path; opt-in
+                                     # until an in-context A/B on real
+                                     # hardware proves it (association
+                                     # distances compare in the d^2 form —
+                                     # borderline-gate beams may differ at
+                                     # f32 rounding from the sqrt path)
     obs_cap: int = 0                 # compact pose solves to this many beams
                                      # per frame (0 = no compaction; set >=
                                      # the dataset's max valid-beam count —

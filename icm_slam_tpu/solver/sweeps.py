@@ -586,7 +586,23 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
 
     pts = beams_to_world(x, data.dist, data.ang)            # (T, B, 2)
 
-    if config.use_pallas_assoc and Lr % 256 == 0:
+    # one-kernel association + old-landmark sums (opt-in, see
+    # ops/assoc_sums_pallas.py): only on the capped quirk path, where the
+    # kernel's (T, 3, cap) sums drop straight into the running-mean
+    # prefix sums below
+    fused_sums = None
+    if (config.use_pallas_fused_assoc and config.replicate_new_obs_quirk
+            and Lr < L and Lr % 128 == 0):
+        from icm_slam_tpu.ops.assoc_sums_pallas import associate_and_sums
+        lab_n, d2min, fused_sums = associate_and_sums(
+            pts, ref_pos, data.mask, old_map.nact, float(dist_thr),
+            interpret=jax.default_backend() != "tpu")
+        fused_sums = fused_sums.astype(dtype)
+        # d^2-form gate (borderline beams may differ from the sqrt path
+        # at f32 rounding — documented in the kernel header)
+        lab = jnp.where(d2min > dist_thr * dist_thr, -1, lab_n)
+        lab = jnp.where(data.mask, lab, L)                   # (T, B)
+    elif config.use_pallas_assoc and Lr % 256 == 0:
         from icm_slam_tpu.ops.assoc_pallas import nearest_landmark
         # Mosaic compiles only for TPU; elsewhere the opt-in still honors
         # the kernel contract through the (slow) interpreter.
@@ -631,7 +647,11 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
 
             lab_old = jnp.where(far | (lab >= cap_l), cap_l, lab)
 
-            if T * B * (cap_l + 1) <= config.assoc_onehot_max_elems:
+            if fused_sums is not None:
+                # the kernel already produced the per-frame old-landmark
+                # sums with the identical weight (valid & within gate)
+                sums = fused_sums                            # (T, 3, cap_l)
+            elif T * B * (cap_l + 1) <= config.assoc_onehot_max_elems:
                 # one-hot matmul instead of 3 vmapped scatter segment-sums:
                 # the (B, cap+1) one-hot product rides the MXU in one fused
                 # batched contraction, while scatter-add serializes
