@@ -122,7 +122,10 @@ def ba_refine(data: SweepData, old_map: MapState, x, config, w,
     cap = config.obs_cap if config.obs_cap else data.dist.shape[1]
     order = jnp.argsort(~valid, axis=1, stable=True)[:, :cap]
     dist_c = jnp.take_along_axis(data.dist, order, axis=1)
-    ang_c = data.ang[order]
+    # ang is the shared 1-D beam vector, or (T, B) when the caller
+    # pre-compacted the beam axis (solver.icm._refine_loop_jit hoist)
+    ang_c = (jnp.take_along_axis(data.ang, order, axis=1)
+             if data.ang.ndim == 2 else data.ang[order])
     lab_c = jnp.take_along_axis(labels, order, axis=1)
     obs_w = jnp.take_along_axis(valid, order, axis=1).astype(x.dtype)
 

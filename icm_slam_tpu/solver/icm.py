@@ -270,6 +270,18 @@ def _refine_loop_jit(data, cur_map, x, config, n_iters, with_metrics=True):
     cost on a 12 ms sweep; benchmarks that define throughput as pure
     sweep time use False.
     """
+    # hoist beam compaction out of the scan: the per-frame validity
+    # argsort is loop-invariant, but XLA does not move sorts out of while
+    # bodies — compacting here runs it once per loop, not once per sweep.
+    # (The in-sweep compaction no-ops on pre-compacted data: its
+    # cap < B guard sees B == cap.)  The sequential mode keeps the shared
+    # 1-D beam-angle vector, so it is excluded.
+    if config.sweep_mode != "sequential":
+        cap = config.obs_cap or 0
+        if cap and cap < data.dist.shape[1]:
+            from icm_slam_tpu.solver.sweeps import compact_data
+            data = compact_data(data, cap)
+
     def body(carry, _):
         cur_map, x = carry
         filtered, x, witness = _refine_step(data, cur_map, x, config)
