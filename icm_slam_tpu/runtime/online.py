@@ -142,9 +142,9 @@ class OnlineSLAM:
                 map_counts=np.asarray(fm.counts[:nact]),
                 changes=np.zeros((0, 3)), timings={})
 
-        from icm_slam_tpu.solver.icm import (_refine_jit, check_witness,
-                                             map_change, prepare,
-                                             resolve_config)
+        from icm_slam_tpu.solver.icm import (_refine_jit, _refine_loop_jit,
+                                             check_witness, map_change,
+                                             prepare, resolve_config)
         ds = Dataset(np.asarray(self._scans), np.asarray(self._odom),
                      np.asarray(self._u), x_init[0], name="online")
         config = self.config
@@ -153,21 +153,29 @@ class OnlineSLAM:
         config = resolve_config(config, data)
         x = jnp.asarray(x_init, data.dist.dtype)
         cur_map = jax.tree.map(lambda a: jnp.asarray(a), fm)
-        changes, raw = [], []
         t0 = _time.perf_counter()
-        for k in range(n_iters):
-            prev = cur_map
-            cur_map, x, w = _refine_jit(data, prev, x, config)
-            changes.append(map_change(cur_map, prev,
-                                      live_cap=config.map_run_cap))
-            raw.append(w)
-            if self.verbose:
+        if not self.verbose:
+            # no observer -> the same fused one-program loop run() uses
+            # (no per-iteration tunnel dispatch)
+            cur_map, x, witnesses, ch = _refine_loop_jit(
+                data, cur_map, x, config, n_iters)
+            jax.block_until_ready(x)
+            raw = list(np.asarray(witnesses)) if n_iters else []
+            changes = list(np.asarray(ch))
+        else:
+            changes, raw = [], []
+            for k in range(n_iters):
+                prev = cur_map
+                cur_map, x, w = _refine_jit(data, prev, x, config)
+                changes.append(map_change(cur_map, prev,
+                                          live_cap=config.map_run_cap))
+                raw.append(w)
                 corr = float(jnp.sum(jnp.linalg.norm(
                     x - jnp.asarray(x_init, x.dtype), axis=1)))
                 print(f"[online] refine {k + 1}/{n_iters} "
                       f"landmarks={int(cur_map.nact)} "
                       f"correction={corr:.4f}", flush=True)
-        jax.block_until_ready(x)
+            jax.block_until_ready(x)
         for k, w in enumerate(raw):
             check_witness(w, config, f"refinement sweep {k}")
         nact = int(cur_map.nact)
