@@ -71,6 +71,9 @@ def main(argv=None):
                     help="use the Pallas correspondence kernel (opt-in; "
                          "measured neutral vs XLA fusion at reference AND "
                          "20k-frame stress scale)")
+    ap.add_argument("--pallas-fused", action="store_true",
+                    help="use the fused association+sums Pallas kernel "
+                         "(opt-in A/B; ops/assoc_sums_pallas.py)")
     args = ap.parse_args(argv)
 
     import jax
@@ -92,6 +95,7 @@ def main(argv=None):
     cfg = ICMConfig(N=args.iters, L=1024, sweep_mode=args.mode,
                     dtype="float32",
                     use_pallas_assoc=on_tpu and args.pallas,
+                    use_pallas_fused_assoc=on_tpu and args.pallas_fused,
                     pose_passes=args.passes, pose_gn_iters=args.gn_iters)
 
     data = prepare(ds, cfg)

@@ -36,6 +36,9 @@ def _add_common(ap):
                     help="use the Pallas correspondence kernel (opt-in; "
                          "measured neutral vs XLA fusion at all tested "
                          "scales)")
+    ap.add_argument("--pallas-fused", action="store_true",
+                    help="use the fused association+sums Pallas kernel "
+                         "(opt-in; ops/assoc_sums_pallas.py)")
     ap.add_argument("--map-cap", type=int, default=None, metavar="K",
                     help="map_run_cap override; with --checked-cap the cap "
                          "is kept under a runtime witness (exact-or-error) "
@@ -76,6 +79,8 @@ def _build(args):
         # reference scale (62.5 vs 63.1 ms/iter) and 20k-frame stress scale
         # (243 vs 241 ms/iter) — see docs/RESULTS.md
         overrides.setdefault("use_pallas_assoc", True)
+    if args.pallas_fused:
+        overrides.setdefault("use_pallas_fused_assoc", True)
     cfg = (ICMConfig.from_yaml(args.config, **overrides) if args.config
            else ICMConfig(**overrides))
     ds = load(args.dataset)
