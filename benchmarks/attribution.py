@@ -58,9 +58,9 @@ def main(argv=None):
         x0 = jnp.asarray(ds.x0, data.dist.dtype)
         return data, cfg, x0, seed_map(data, x0, cfg)
 
-    def time_refine(passes, gn):
+    def time_refine(passes, gn, fused=False):
         cfg0 = ICMConfig(N=args.iters, L=1024, pose_passes=passes,
-                         pose_gn_iters=gn)
+                         pose_gn_iters=gn, use_pallas_fused_assoc=fused)
         data, cfg, x0, seed = setup(cfg0)
         st, x = _init_jit(data, seed, x0, cfg)
         cur = _filter_jit(st, cfg)
@@ -96,6 +96,10 @@ def main(argv=None):
     r_gn2 = time_refine(1, 2)
     r_gn1 = time_refine(1, 1)
     r_default = time_refine(2, 8)
+    # fused assoc+sums kernel A/B at the fast profile (opt-in candidate);
+    # interpret mode off-TPU makes this row meaningless on CPU
+    r_fused = (time_refine(1, 6, fused=True)
+               if jax.devices()[0].platform == "tpu" else None)
     i_r1 = time_init(1)
     i_r2 = time_init(2)
 
@@ -107,7 +111,10 @@ def main(argv=None):
         "refine_ms_per_iter": {"fast_1p6g": round(r_fast, 2),
                                "1p2g": round(r_gn2, 2),
                                "1p1g": round(r_gn1, 2),
-                               "default_2p8g": round(r_default, 2)},
+                               "default_2p8g": round(r_default, 2),
+                               "fast_fused_kernel":
+                                   None if r_fused is None
+                                   else round(r_fused, 2)},
         "attribution_ms": {
             "per_lm_iteration": round(per_lm_iter, 3),
             "lm_at_gn6": round(6 * per_lm_iter, 2),
