@@ -1,0 +1,46 @@
+#!/usr/bin/env bash
+# Round-2/3 TPU re-measurement batch (run after ANY engine change).
+#
+# Serializes all TPU jobs with quiet gaps (the axon server needs ~2 min to
+# reap each client's session; a client launched sooner hangs — CLAUDE.md).
+# Check the tunnel FIRST: a dead relay makes every client hang forever.
+#
+#   bash tools/remeasure.sh [out.jsonl]
+set -u
+OUT="${1:-/tmp/remeasure.jsonl}"
+cd "$(dirname "$0")/.."
+
+if ! ss -tlnp 2>/dev/null | grep -q 8082; then
+    echo '{"error": "axon tunnel relay is down (no listener on 8082)"}' \
+        | tee "$OUT"
+    exit 1
+fi
+
+probe() {
+    timeout 120 python -c "
+import jax, jax.numpy as jnp
+y = jax.jit(lambda a: a @ a)(jnp.ones((256, 256))); jax.block_until_ready(y)
+print('probe ok')" || { echo '{"error": "TPU probe failed"}' | tee -a "$OUT"; exit 1; }
+}
+
+gap() { sleep 150; }
+
+: > "$OUT"
+probe; gap
+
+run() {  # run <label> <timeout_s> <cmd...>
+    local label="$1" to="$2"; shift 2
+    echo "== $label" >&2
+    timeout "$to" "$@" 2>/dev/null | tail -1 | tee -a "$OUT"
+    gap
+}
+
+run bench_fast          600 python bench.py
+run bench_default       600 python bench.py --passes 2 --gn-iters 8
+run bench_palomar_fast  600 python bench.py --dataset palomar
+run bench_palomar_def   600 python bench.py --dataset palomar --passes 2 --gn-iters 8
+run attribution         900 python benchmarks/attribution.py
+run stress              900 python benchmarks/stress_long.py
+run bench_fused_ab      600 python bench.py --pallas-fused
+
+echo "== results in $OUT" >&2
