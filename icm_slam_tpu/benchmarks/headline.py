@@ -61,11 +61,16 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
-    ap.add_argument("--passes", type=int, default=1,
+    ap.add_argument("--profile", choices=["fast", "default"], default=None,
+                    help="validated knob preset: fast = --passes 1 "
+                         "--gn-iters 6 (ATE 0.037), default = --passes 2 "
+                         "--gn-iters 8 (ATE 0.016); explicit --passes/"
+                         "--gn-iters win")
+    ap.add_argument("--passes", type=int, default=None,
                     help="red-black half-pass pairs per sweep (1 = the "
                          "validated fast profile, ATE 0.037 m; 2 = the "
                          "conservative engine default, ATE 0.016 m)")
-    ap.add_argument("--gn-iters", type=int, default=6,
+    ap.add_argument("--gn-iters", type=int, default=None,
                     help="LM iterations per pose solve (6 fast / 8 default)")
     ap.add_argument("--pallas", action="store_true",
                     help="use the Pallas correspondence kernel (opt-in; "
@@ -91,12 +96,15 @@ def main(argv=None):
     if args.frames:
         ds = ds.slice(args.frames)
     T = ds.T
+    preset_p, preset_g = (2, 8) if args.profile == "default" else (1, 6)
+    passes = preset_p if args.passes is None else args.passes
+    gn_iters = preset_g if args.gn_iters is None else args.gn_iters
     on_tpu = jax.devices()[0].platform != "cpu"
     cfg = ICMConfig(N=args.iters, L=1024, sweep_mode=args.mode,
                     dtype="float32",
                     use_pallas_assoc=on_tpu and args.pallas,
                     use_pallas_fused_assoc=on_tpu and args.pallas_fused,
-                    pose_passes=args.passes, pose_gn_iters=args.gn_iters)
+                    pose_passes=passes, pose_gn_iters=gn_iters)
 
     data = prepare(ds, cfg)
     cfg = resolve_config(cfg, data)
