@@ -202,6 +202,11 @@ class OracleMap:
             strong = np.where(counts >= p.cota)[0]
             table = table[:, strong]
             counts = counts[strong]
+        else:
+            # nothing pruned: still narrow the table to the live columns so
+            # the merge masks below stay aligned (the real datasets always
+            # prune — cota=300 — so only synthetic fuzz worlds reach this)
+            table = table[:, :nact]
 
         dm = squareform(pdist(table[:, :nact].T))
         dm[dm == 0] = dm.max()
