@@ -25,6 +25,32 @@ from icm_slam_tpu.solver.icm import run
 
 
 @pytest.mark.slow
+def test_sequential_mode_census_exact_where_batched_differs():
+    """Fidelity mode on the borderline world (seed 1): census EXACT.
+
+    Seed 1 is where the batched red-black sweep merges one landmark pair
+    the oracle keeps apart; the sequential mode reproduces the oracle's
+    update order and must keep the census exact (ATE probed 0.021) —
+    pinning the batched diff to update ORDER, not a semantics bug.
+    """
+    from reference_oracle import OracleParams, run_pipeline
+
+    ds = synthetic_world(T=150, n_landmarks=10, seed=1)
+    p = OracleParams(N=3, L=256, cota=5.0)
+    scans_o = np.minimum(np.asarray(ds.scans) + p.radio, p.rango_laser_max)
+    out = run_pipeline(scans_o.T.copy(), np.asarray(ds.odom).T.copy(),
+                       np.asarray(ds.u).T.copy(), p, verbose=False)
+    ds_e = Dataset(ds.scans, ds.odom, ds.u, np.asarray(ds.odom)[0].copy(),
+                   name="fuzz")
+    res = run(ds_e, ICMConfig(N=3, L=256, cota=5.0,
+                              sweep_mode="sequential"))
+    assert res.map_pos.shape[0] == out["map"].shape[1]
+    ate = float(np.mean(np.linalg.norm(
+        res.x[:, :2] - out["x"].T[:, :2], axis=1)))
+    assert ate < 0.05, ate
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("seed,census_exact", [(0, True), (1, False),
                                                (4, True)])
 def test_random_world_matches_oracle(seed, census_exact):
