@@ -20,4 +20,4 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from icm_slam_tpu.benchmarks.headline import main  # noqa: E402
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

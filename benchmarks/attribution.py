@@ -62,7 +62,7 @@ def main(argv=None):
         cfg0 = ICMConfig(N=args.iters, L=1024, pose_passes=passes,
                          pose_gn_iters=gn, use_pallas_fused_assoc=fused)
         data, cfg, x0, seed = setup(cfg0)
-        st, x = _init_jit(data, seed, x0, cfg)
+        st, x, _ = _init_jit(data, seed, x0, cfg)
         cur = _filter_jit(st, cfg)
         m, xr, _, _ = _refine_loop_jit(data, cur, x, cfg, args.iters,
                                        with_metrics=False)
@@ -81,13 +81,13 @@ def main(argv=None):
     def time_init(rounds):
         cfg0 = ICMConfig(N=0, L=1024, init_rounds=rounds)
         data, cfg, x0, seed = setup(cfg0)
-        st, x = _init_jit(data, seed, x0, cfg)
+        st, x, _ = _init_jit(data, seed, x0, cfg)
         jax.block_until_ready(x)
         ts = []
         for _ in range(args.reps):
             x0c = x0 + 1e-30 * x[-1]          # chained dep, value-identical
             t0 = time.perf_counter()
-            st, x = _init_jit(data, seed, x0c, cfg)
+            st, x, _ = _init_jit(data, seed, x0c, cfg)
             jax.block_until_ready(x)
             ts.append((time.perf_counter() - t0) * 1e3)
         return _median(ts)

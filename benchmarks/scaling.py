@@ -54,7 +54,7 @@ def main():
     cfg = resolve_config(cfg, data)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)
     seed = seed_map(data, x0, cfg)
-    state, x = _init_jit(data, seed, x0, cfg)
+    state, x, _ = _init_jit(data, seed, x0, cfg)
     cur = _filter_jit(state, cfg)
     w = weights(cfg)
     # efficiency is normalized to the SMALLEST measured mesh (its cost x its

@@ -62,7 +62,7 @@ def main():
     seed = seed_map(data, x0, cfg)
 
     t0 = time.perf_counter()
-    state, x = _init_jit(data, seed, x0, cfg)
+    state, x, _ = _init_jit(data, seed, x0, cfg)
     jax.block_until_ready(x)
     init_s = time.perf_counter() - t0
     check_witness(jnp.stack([state.nact.astype(jnp.int32),

@@ -26,7 +26,7 @@ ds = load("ijac2018").slice(400)
 cfg = ICMConfig(N=1, L=256)
 data = prepare(ds, cfg)
 x0 = jnp.asarray(ds.x0, data.dist.dtype)
-state, x = _init_jit(data, seed_map(data, x0, cfg), x0, cfg)
+state, x, _ = _init_jit(data, seed_map(data, x0, cfg), x0, cfg)
 cur = _filter_jit(state, cfg)
 
 mesh = make_mesh(n_devices=min(8, len(jax.devices())))

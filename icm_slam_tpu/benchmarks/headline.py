@@ -32,6 +32,66 @@ _GOLDEN = {
 }
 
 
+def _emit_tpu_error(detail: str) -> None:
+    """One structured JSON line on stdout — never a raw traceback.
+
+    A dead axon tunnel must leave the driver's perf record with a parseable
+    {"error": "tpu_unavailable"} marker instead of `parsed: null`
+    (the round-2 capture failed exactly that way)."""
+    print(json.dumps({
+        "metric": "icm_refine_frames_per_s",
+        "error": "tpu_unavailable",
+        "detail": detail,
+    }), flush=True)
+
+
+def _guard_tpu_backend() -> int:
+    """Fail fast when the axon TPU tunnel is down. Returns 0 if healthy.
+
+    The axon PJRT plugin BLOCKS forever at backend init when the tunnel
+    relay is dead (no listener on its local port) instead of raising — so
+    (1) probe the relay's TCP listener first, and (2) guard the actual
+    backend init with a watchdog thread.  Non-axon platforms return
+    immediately (jax.devices() errors normally there).
+    """
+    if "axon" not in os.environ.get("JAX_PLATFORMS", ""):
+        return 0
+    import socket
+    port = int(os.environ.get("ICM_AXON_PROBE_PORT", "8082"))
+    s = socket.socket()
+    s.settimeout(2.0)
+    try:
+        s.connect(("127.0.0.1", port))
+    except OSError as e:
+        _emit_tpu_error(
+            f"axon tunnel relay not listening on 127.0.0.1:{port} ({e}); "
+            f"the TPU backend would block forever at init")
+        return 2
+    finally:
+        s.close()
+
+    import threading
+    import jax
+    ready = threading.Event()
+
+    def _watchdog():
+        if not ready.wait(120.0):
+            _emit_tpu_error(
+                "TPU backend init did not complete within 120 s "
+                "(relay listening but backend unresponsive)")
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+    try:
+        jax.devices()
+    except Exception as e:
+        _emit_tpu_error(f"{type(e).__name__}: {str(e)[:300]}")
+        return 2
+    finally:
+        ready.set()
+    return 0
+
+
 def _golden_path(dataset: str):
     """tests/golden/ trace for the full-depth ATE self-check, if present."""
     name = _GOLDEN.get(dataset)
@@ -79,20 +139,58 @@ def main(argv=None):
     ap.add_argument("--pallas-fused", action="store_true",
                     help="use the fused association+sums Pallas kernel "
                          "(opt-in A/B; ops/assoc_sums_pallas.py)")
+    ap.add_argument("--no-palomar", action="store_true",
+                    help="skip the secondary palomar row (added to the "
+                         "same JSON line when the primary dataset is "
+                         "ijac2018 at full depth)")
     args = ap.parse_args(argv)
 
     import jax
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    else:
+        rc = _guard_tpu_backend()
+        if rc:
+            return rc
+
+    res = _bench_dataset(args.dataset, args, reps=max(1, args.reps))
+    out = {
+        "metric": "icm_refine_frames_per_s",
+        "value": round(res["fps"], 1),
+        "unit": "frames/s",
+        "vs_baseline": round(res["fps"] / BASELINE_FPS, 2),
+    }
+    if res["ate"] is not None:
+        out["ate_vs_reference_m_at_n30"] = round(res["ate"], 4)
+    if args.dataset != "ijac2018":
+        out["dataset"] = args.dataset
+    elif not (args.frames or args.no_palomar):
+        # second dataset, same JSON line (driver contract: ONE line).  The
+        # palomar arrays share ijac2018's shapes, so every program is
+        # already compiled — this costs ~1 s of pure runtime and gives the
+        # second dataset a driver-captured perf+ATE record each round.
+        try:
+            p = _bench_dataset("palomar", args, reps=max(1, args.reps // 2))
+            out["palomar_frames_per_s"] = round(p["fps"], 1)
+            if p["ate"] is not None:
+                out["palomar_ate_vs_reference_m_at_n30"] = round(p["ate"], 4)
+        except Exception as e:  # secondary row must never kill the capture
+            out["palomar_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    print(json.dumps(out))
+
+
+def _bench_dataset(dataset: str, args, reps: int):
+    """Measure one dataset: init time, refine throughput, ATE at N=30."""
+    import jax
     import jax.numpy as jnp
 
     from icm_slam_tpu.config import ICMConfig
     from icm_slam_tpu.data.datasets import load
-    from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit, _refine_jit,
+    from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit,
                                          _refine_loop_jit, prepare,
                                          resolve_config, seed_map)
 
-    ds = load(args.dataset)
+    ds = load(dataset)
     if args.frames:
         ds = ds.slice(args.frames)
     T = ds.T
@@ -113,11 +211,11 @@ def main(argv=None):
 
     # --- init sweep (iteration 0) ---
     t0 = time.perf_counter()
-    state, x = _init_jit(data, seed, x0, cfg)
+    state, x, _ = _init_jit(data, seed, x0, cfg)
     jax.block_until_ready(x)
     init_compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
-    state, x = _init_jit(data, seed, x0, cfg)
+    state, x, _ = _init_jit(data, seed, x0, cfg)
     jax.block_until_ready(x)
     init_s = time.perf_counter() - t0
     cur_map = _filter_jit(state, cfg)
@@ -138,7 +236,7 @@ def main(argv=None):
     # see ~10-30 ms dispatch hiccups that a median absorbs
     m, xx = m_w, x_w
     rep_s = []
-    for _ in range(max(1, args.reps)):
+    for _ in range(reps):
         # fresh device buffer even at a bitwise fixed point (subnormal
         # flushes to zero on TPU; value-identical, defeats buffer
         # memoization)
@@ -154,18 +252,19 @@ def main(argv=None):
 
     fps = T / refine_s
 
-    # quality self-check: converge to the reference's N=30 (the timed loop
-    # may run a different count) and report ATE vs the golden trace from
-    # the bitwise-verified reference oracle (full dataset only).  The
-    # warmup output is exactly args.iters sweeps past init, the closest
-    # state to 30 we hold; top it up per-iteration if short.
+    # quality self-check: the reported key is ATE at EXACTLY the golden
+    # trace's N=30 sweeps past init.  When the timed loop already ran 30
+    # (the default) its warmup output is that state; any other --iters gets
+    # a dedicated 30-sweep run from the init state so the key never lies.
     ate = None
-    gp = None if args.frames else _golden_path(args.dataset)
+    gp = None if args.frames else _golden_path(dataset)
     if gp:
         import numpy as np
-        m30, x30 = m_w, x_w
-        for _ in range(max(0, 30 - args.iters)):
-            m30, x30, _ = _refine_jit(data, m30, x30, cfg)
+        if args.iters == 30:
+            x30 = x_w
+        else:
+            _, x30, _, _ = _refine_loop_jit(data, cur_map, x, cfg, 30,
+                                            with_metrics=False)
         gx = np.load(gp)["x"].T
         xn = np.asarray(x30)
         ate = float(np.mean(np.linalg.norm(xn[:, :2] - gx[:, :2], axis=1)))
@@ -176,18 +275,9 @@ def main(argv=None):
         print(f"# init: {init_s:.3f}s ({T / init_s:.0f} f/s, compile "
               f"{init_compile_s:.1f}s); refine: {refine_s * 1e3:.1f} ms/iter",
               file=sys.stderr)
-    out = {
-        "metric": "icm_refine_frames_per_s",
-        "value": round(fps, 1),
-        "unit": "frames/s",
-        "vs_baseline": round(fps / BASELINE_FPS, 2),
-    }
-    if ate is not None:
-        out["ate_vs_reference_m_at_n30"] = round(ate, 4)
-    if args.dataset != "ijac2018":
-        out["dataset"] = args.dataset
-    print(json.dumps(out))
+    return {"fps": fps, "ate": ate, "init_s": init_s,
+            "refine_s_per_iter": refine_s}
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

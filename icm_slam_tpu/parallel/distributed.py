@@ -18,12 +18,26 @@ def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
                process_id: Optional[int] = None) -> None:
     """jax.distributed.initialize with env-var fallbacks (no-op if single
-    process and no coordinator is configured)."""
+    process and no coordinator is configured).
+
+    Fallbacks: ICM_COORDINATOR (host:port), ICM_NUM_PROCESSES,
+    ICM_PROCESS_ID — so a launcher can configure the whole bring-up through
+    the environment and every worker just calls ``initialize()``.  Both the
+    explicit-args and the env paths are exercised by
+    tools/dryrun_multiprocess.py (in-suite at 2 processes,
+    tests/test_multiprocess.py).
+    """
     import os
 
     import jax
     if coordinator_address is None:
         coordinator_address = os.environ.get("ICM_COORDINATOR")
+    if num_processes is None:
+        v = os.environ.get("ICM_NUM_PROCESSES")
+        num_processes = int(v) if v else None
+    if process_id is None:
+        v = os.environ.get("ICM_PROCESS_ID")
+        process_id = int(v) if v is not None and v != "" else None
     if coordinator_address is None and num_processes is None:
         return  # single-process run
     jax.distributed.initialize(coordinator_address=coordinator_address,

@@ -103,7 +103,12 @@ def shard_sweep_inputs(mesh: Mesh, data, x, pad_to=None):
 
         data = SweepData(
             dist=pad_t(data.dist), mask=pad_t(data.mask, False),
-            ang=data.ang, odom=pad_t(data.odom), u=pad_t(data.u))
+            # a shared 1-D beam-angle vector is T-independent; a
+            # pre-compacted per-frame (T, B) ang must be padded like every
+            # other per-frame array (and the padded rows are all-masked,
+            # so zero angles are never read)
+            ang=(data.ang if data.ang.ndim == 1 else pad_t(data.ang)),
+            odom=pad_t(data.odom), u=pad_t(data.u))
         x = jnp.pad(x, [(0, pad), (0, 0)])
 
     data = SweepData(

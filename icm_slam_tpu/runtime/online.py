@@ -132,6 +132,15 @@ class OnlineSLAM:
         self._flush()
         from icm_slam_tpu.data.datasets import Dataset
         from icm_slam_tpu.mapping.landmark_map import filter_map
+        from icm_slam_tpu.solver.icm import check_table_overflow
+
+        # the streamed state's nact is the RAW allocated-label count from
+        # update(); labels >= L aliased the discard slot during streaming,
+        # so a raw count past L means observations were silently dropped —
+        # the same exact-or-error guard run() applies to its init sweep
+        if self._state is not None:
+            check_table_overflow(int(self._state.nact), self.config.L,
+                                 "online init")
 
         x_init = np.concatenate(self._poses, axis=0)
         fm = filter_map(self._state, self.config.cota, self.config.dist_thr)

@@ -203,6 +203,13 @@ def use_batched_init(config: ICMConfig) -> bool:
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _init_jit(data, seed, x0, config):
+    """Iteration-0 sweep. Returns (map_state, poses, raw_nact).
+
+    ``raw_nact`` is the raw allocated-label count BEFORE any in-sweep merge
+    — the only value check_table_overflow can trust (the batched init's
+    duplicate merge compacts state.nact to <= L, which would mask an
+    overflow where observations were silently dropped).
+    """
     from icm_slam_tpu.solver.sweeps import init_sweep_batched
     if use_batched_init(config):
         return init_sweep_batched(data, seed, x0, config, weights(config))
@@ -334,11 +341,11 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
     timings["prepare_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    state, x = _init_jit(data, seed, x0, config)
+    state, x, raw_nact = _init_jit(data, seed, x0, config)
     cur_map = _filter_jit(state, config)
     jax.block_until_ready(x)
     timings["init_s"] = time.perf_counter() - t0
-    check_witness(jnp.stack([state.nact.astype(jnp.int32),
+    check_witness(jnp.stack([raw_nact.astype(jnp.int32),
                              kept_count(state, config.cota)]),
                   config, "init sweep")
     x_init = np.asarray(x)

@@ -156,11 +156,14 @@ def init_chunk(data: SweepData, state: MapState, xt, config, w, t_offset=1
 
 
 def init_sweep(data: SweepData, seed: MapState, x0, config, w
-               ) -> Tuple[MapState, jnp.ndarray]:
+               ) -> Tuple[MapState, jnp.ndarray, jnp.ndarray]:
     """Run the causal initialization over frames 1..T-1.
 
     ``seed`` is the map after frame 0 (host-side first-frame clustering,
-    ICM_SLAM.py:160-165). Returns (map_state, poses (T,3)).
+    ICM_SLAM.py:160-165). Returns (map_state, poses (T,3), raw_nact) where
+    ``raw_nact`` is the raw allocated-label count — the table-overflow
+    witness (> L means labels aliased the discard slot and observations
+    were silently dropped; solver.icm.check_table_overflow).
     """
     cap = config.obs_cap or 0
     if cap and cap < data.dist.shape[1]:
@@ -169,7 +172,7 @@ def init_sweep(data: SweepData, seed: MapState, x0, config, w
         data = compact_data(data, cap)
     state, _, xs = init_chunk(data, seed, x0, config, w, t_offset=1)
     x = jnp.concatenate([x0[None, :], xs], axis=0)
-    return state, x
+    return state, x, state.nact
 
 
 # ---------------------------------------------------------------------------
@@ -177,8 +180,12 @@ def init_sweep(data: SweepData, seed: MapState, x0, config, w
 # ---------------------------------------------------------------------------
 
 def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
-                       ) -> Tuple[MapState, jnp.ndarray]:
+                       ) -> Tuple[MapState, jnp.ndarray, jnp.ndarray]:
     """Causal init (ICM_ROS.py:47-119) as a chunked-Picard sweep.
+
+    Returns (merged map_state, poses (T,3), raw_nact): ``raw_nact`` is the
+    PRE-merge allocated-label count (the in-function duplicate merge caps
+    state.nact at <= L, so only the raw count can witness table overflow).
 
     The sequential init is a T-step lax.scan whose per-step LM solve
     dominates wall time (measured: 270 ms for T=1833 on TPU v5e, ~85% in
@@ -467,7 +474,10 @@ def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
     # step that follows the init).
     from icm_slam_tpu.mapping.landmark_map import filter_map as _merge
     merged = _merge(MapState(pos, fcnt, nact), 0.0, dist_thr)
-    return merged, x
+    # the merge compacts nact to <= L, which would mask a table overflow —
+    # return the RAW allocated-label count so run()'s check_table_overflow
+    # can actually fire on this (default) init path
+    return merged, x, nact
 
 
 # ---------------------------------------------------------------------------

@@ -113,7 +113,7 @@ def test_windowed_ba_reduces_global_energy(ijac):
     cfg = ICMConfig(N=1, L=256, dtype="float32", ba_gn_iters=4, obs_cap=24)
     data = prepare(ds, cfg)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)
-    st, x = _init_jit(data, seed_map(data, x0, cfg), x0, cfg)
+    st, x, _ = _init_jit(data, seed_map(data, x0, cfg), x0, cfg)
     cur = _filter_jit(st, cfg)
     w = weights(cfg)
     labels, fmap, matched = batched_associate(data, cur, x, cfg)
@@ -145,7 +145,7 @@ def test_compact_data_association_equivalence(ijac):
     cfg = ICMConfig(N=1, L=256, dtype="float32")
     data = prepare(ds, cfg)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)
-    st, x = _init_jit(data, seed_map(data, x0, cfg), x0, cfg)
+    st, x, _ = _init_jit(data, seed_map(data, x0, cfg), x0, cfg)
     cur = _filter_jit(st, cfg)
 
     cap = auto_obs_cap(data.mask)

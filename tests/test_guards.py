@@ -69,7 +69,7 @@ def test_map_run_cap_shrinks_to_bound_and_stays_exact():
     wide = dataclasses.replace(out, map_run_cap=256)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)
     seed = seed_map(data, x0, out)
-    state, x = _init_jit(data, seed, x0, out)
+    state, x, raw_nact = _init_jit(data, seed, x0, out)
     m0 = _filter_jit(state, out)
     for c in (out, wide):
         if int(m0.nact) >= c.map_run_cap:
@@ -196,6 +196,19 @@ def test_run_detects_table_overflow():
     cfg = ICMConfig(N=1, L=4, cota=2.0, map_run_cap=0)
     with pytest.raises(RuntimeError, match="overflow"):
         run(ds, cfg)
+
+
+def test_init_overflow_detected_on_batched_path():
+    # ADVICE round-2 (medium): the batched init merges its table in-function
+    # (nact compacted to <= L), so the overflow witness must come from the
+    # RAW allocated-label count — with zero refinement iterations only the
+    # init-sweep check can fire, proving the batched path's raw witness
+    from icm_slam_tpu.solver.icm import use_batched_init
+    ds = synthetic_world(T=200, n_landmarks=30, world_size=15.0, seed=3)
+    cfg = ICMConfig(N=0, L=4, cota=2.0, map_run_cap=0)
+    assert use_batched_init(cfg)
+    with pytest.raises(RuntimeError, match="init sweep"):
+        run(ds, cfg, n_iters=0)
 
 
 def test_assoc_onehot_and_scatter_paths_agree():

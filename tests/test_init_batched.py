@@ -36,8 +36,8 @@ def test_tiny_chunks_match_sequential_exactly(dataset, ijac):
     ds = ijac.slice(200) if dataset == "ijac" else \
         synthetic_world(T=150, n_landmarks=12, seed=3)
     base = ICMConfig(N=0, L=256, dtype="float32")
-    st_s, x_s = _init(ds, dataclasses.replace(base, init_mode="sequential"))
-    st_b, x_b = _init(ds, dataclasses.replace(
+    st_s, x_s, _ = _init(ds, dataclasses.replace(base, init_mode="sequential"))
+    st_b, x_b, _ = _init(ds, dataclasses.replace(
         base, init_mode="batched", init_rounds=6, init_chunk_len=2))
     # atol covers f32 solver-path differences (the vmapped solves use the
     # closed-form 3x3 LM step, the scan uses LU) — same fixed point
@@ -60,8 +60,8 @@ def test_tiny_chunks_match_sequential_exactly(dataset, ijac):
 def test_production_settings_ate_parity(ijac):
     ds = ijac.slice(400)
     base = ICMConfig(N=0, L=1024, dtype="float32")
-    _, x_s = _init(ds, dataclasses.replace(base, init_mode="sequential"))
-    _, x_b = _init(ds, dataclasses.replace(base, init_mode="batched"))
+    _, x_s, _ = _init(ds, dataclasses.replace(base, init_mode="sequential"))
+    _, x_b, _ = _init(ds, dataclasses.replace(base, init_mode="batched"))
     ate = float(np.mean(np.linalg.norm(
         np.asarray(x_b)[:, :2] - np.asarray(x_s)[:, :2], axis=1)))
     assert ate < 0.1, ate
@@ -74,7 +74,7 @@ def test_blackout_frames_dead_reckon(ijac):
     ds = dc.replace(ds, scans=ds.scans.copy())  # slice() returns views
     ds.scans[40:70] = 10.0  # blackout: no informative beams
     base = ICMConfig(N=0, L=256, dtype="float32")
-    _, x_b = _init(ds, dataclasses.replace(base, init_mode="batched"))
+    _, x_b, _ = _init(ds, dataclasses.replace(base, init_mode="batched"))
     # inside the blackout every pose must chain EXACTLY on its
     # predecessor via the kinematic model (ICM_ROS.py:104-106)
     from icm_slam_tpu.core.geometry import unicycle_step

@@ -51,7 +51,7 @@ def test_pipelined_refine_matches_barrier(ijac, chunk):
     data = prepare(ds, cfg)
     cfg = resolve_config(cfg, data)
     x0 = jnp.asarray(ds.x0, data.dist.dtype)
-    st, x = _init_jit(data, seed_map(data, x0, cfg), x0, cfg)
+    st, x, _ = _init_jit(data, seed_map(data, x0, cfg), x0, cfg)
     cur = _filter_jit(st, cfg)
     w = weights(cfg)
 

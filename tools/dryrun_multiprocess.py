@@ -50,9 +50,20 @@ def worker(pid: int, nproc: int, port: int, devices_per_proc: int,
     # XLA_FLAGS was set by the parent BEFORE this interpreter started
     import jax
     jax.config.update("jax_platforms", "cpu")
-    jax.distributed.initialize(
-        coordinator_address=f"localhost:{port}",
-        num_processes=nproc, process_id=pid)
+    sys.path.insert(0, REPO)
+    from icm_slam_tpu.parallel.distributed import initialize
+
+    # route through the PUBLIC bring-up wrapper; alternate its two
+    # configuration paths so both are exercised (even pids: explicit args;
+    # odd pids: pure env-var fallbacks)
+    if pid % 2 == 0:
+        initialize(coordinator_address=f"localhost:{port}",
+                   num_processes=nproc, process_id=pid)
+    else:
+        os.environ["ICM_COORDINATOR"] = f"localhost:{port}"
+        os.environ["ICM_NUM_PROCESSES"] = str(nproc)
+        os.environ["ICM_PROCESS_ID"] = str(pid)
+        initialize()
     import time
 
     import jax.numpy as jnp
