@@ -1,0 +1,137 @@
+"""Loop-closure capability, quantified against ground truth.
+
+VERDICT r2 #7: the scan-ICP + pose-graph loop closure
+(models/loop_closure.py) is unit-tested but had no headline evidence.
+This experiment produces it:
+
+* a synthetic long-loop world with *real* odometry drift — the published
+  odometry (and the controls the kinematic potential consumes) are
+  integrated from noise-corrupted controls, exactly how a real wheel
+  encoder drifts, so the SLAM estimate inherits the drift instead of
+  having error injected into it post hoc;
+* the full ICM pipeline runs on the drifted data (the reference pipeline
+  semantics: init sweep + N refinement sweeps);
+* `close_loops` detects revisits from the scans, verifies them with 3-dof
+  ICP, and pose-graph-corrects the trajectory;
+* ATE vs ground truth is reported for raw odometry, the ICM estimate,
+  and the closed trajectory, plus closure count and inlier stats.
+
+The reference has no loop-closure capability at all (SURVEY §2) — this is
+a beyond-reference component, so the comparison is against ground truth,
+not against a reference trace.
+
+Usage: python benchmarks/loop_closure_eval.py [--frames 2000] [--drift 0.02]
+"""
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.normpath(os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..")))
+
+
+def drifted_dataset(T, n_landmarks, world_size, seed, v_noise, w_noise,
+                    w_bias, laps=1):
+    """Ground-truth world + odometry integrated from corrupted controls."""
+    from icm_slam_tpu.data.datasets import Dataset, synthetic_world
+    ds, x_true, landmarks = synthetic_world(
+        T=T, n_landmarks=n_landmarks, world_size=world_size, seed=seed,
+        loop=True, odo_drift=0.0, return_truth=True, laps=laps)
+    rng = np.random.default_rng(seed + 1)
+    u_true = ds.u
+    u_noisy = u_true + np.stack(
+        [rng.normal(0, v_noise, T),
+         rng.normal(0, w_noise, T) + w_bias], axis=1)
+    dt = 0.1
+    odo = np.zeros((T, 3))
+    odo[0] = x_true[0]
+    for t in range(1, T):
+        th = odo[t - 1, 2]
+        odo[t] = odo[t - 1] + dt * np.array(
+            [u_noisy[t - 1, 0] * np.cos(th),
+             u_noisy[t - 1, 0] * np.sin(th),
+             u_noisy[t - 1, 1]])
+    drifted = Dataset(ds.scans, odo, u_noisy, x_true[0].copy(),
+                      name="synthetic-drift")
+    return drifted, x_true, landmarks
+
+
+def ate(x, x_true):
+    return float(np.mean(np.linalg.norm(
+        np.asarray(x)[:, :2] - x_true[:, :2], axis=1)))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=2000)
+    ap.add_argument("--landmarks", type=int, default=150)
+    ap.add_argument("--world", type=float, default=50.0)
+    ap.add_argument("--seed", type=int, default=3)
+    ap.add_argument("--v-noise", type=float, default=0.03,
+                    help="white noise std on forward speed [m/s]")
+    ap.add_argument("--w-noise", type=float, default=0.004,
+                    help="white noise std on yaw rate [rad/s]")
+    ap.add_argument("--w-bias", type=float, default=0.001,
+                    help="constant yaw-rate bias [rad/s] (the classic "
+                         "unbounded-drift term)")
+    ap.add_argument("--laps", type=int, default=2,
+                    help="circuits of the loop; >= 2 makes the whole "
+                         "second lap a revisit")
+    ap.add_argument("--iters", type=int, default=15)
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="detect->correct rounds (each shrinks drift, "
+                         "unlocking more closures)")
+    ap.add_argument("--radius", type=float, default=6.0)
+    ap.add_argument("--min-gap", type=int, default=300)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from icm_slam_tpu.config import ICMConfig
+    from icm_slam_tpu.models.loop_closure import close_loops
+    from icm_slam_tpu.solver.icm import prepare, resolve_config, run
+
+    ds, x_true, _ = drifted_dataset(args.frames, args.landmarks, args.world,
+                                    args.seed, args.v_noise, args.w_noise,
+                                    args.w_bias, laps=args.laps)
+    ate_odo = ate(ds.odom, x_true)
+    end_gap = float(np.linalg.norm(ds.odom[-1, :2] - x_true[-1, :2]))
+
+    cfg = ICMConfig(N=args.iters, L=1024, cota=10.0, dtype="float32")
+    res = run(ds, cfg)
+    ate_icm = ate(res.x, x_true)
+
+    data = prepare(ds, cfg)
+    rcfg = resolve_config(cfg, data)
+    x_fix, cl = close_loops(data, jnp.asarray(res.x), rcfg,
+                            min_gap=args.min_gap, radius=args.radius,
+                            icp_coarse_gate=4.0, gn_iters=20, cg_iters=400,
+                            rounds=args.rounds)
+    ate_closed = ate(x_fix, x_true)
+
+    report = {
+        "metric": "loop_closure_ate_m",
+        "frames": args.frames,
+        "ate_odometry_m": round(ate_odo, 4),
+        "odometry_endpoint_gap_m": round(end_gap, 4),
+        "ate_icm_m": round(ate_icm, 4),
+        "ate_after_closure_m": round(ate_closed, 4),
+        "improvement_x": round(ate_icm / max(ate_closed, 1e-9), 2),
+        "closures_accepted": int(cl.pairs.shape[0]),
+        "inlier_frac_mean": round(float(np.mean(cl.inliers)), 3)
+        if cl.pairs.shape[0] else None,
+        "inlier_rms_mean_m": round(float(np.mean(cl.rms)), 4)
+        if cl.pairs.shape[0] else None,
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -96,7 +96,7 @@ def load_palomar(path: str, max_range: float = 10.0,
 
 def synthetic_world(T=600, n_landmarks=40, n_beams=181, max_range=10.0,
                     world_size=30.0, seed=0, loop=True, odo_drift=1e-4,
-                    return_truth=False):
+                    return_truth=False, laps=1):
     """Synthetic DDMR + 2D lidar world for tests and loop-closure benchmarks.
 
     The robot drives a smooth loop among random point landmarks; scans are
@@ -112,7 +112,9 @@ def synthetic_world(T=600, n_landmarks=40, n_beams=181, max_range=10.0,
     dt = 0.1
     # control: constant forward speed, smooth yaw-rate -> loop trajectory
     v = 1.0 + 0.1 * np.sin(np.linspace(0, 4 * np.pi, T))
-    w = (2 * np.pi / (T * dt)) * np.ones(T) if loop else \
+    # ``laps``: how many times the robot drives the full circle — laps >= 2
+    # makes every frame of later laps a revisit (loop-closure benchmarks)
+    w = (laps * 2 * np.pi / (T * dt)) * np.ones(T) if loop else \
         0.3 * np.sin(np.linspace(0, 2 * np.pi, T))
     x = np.zeros((T, 3))
     for t in range(1, T):

@@ -45,10 +45,24 @@ def _body_points(dist, ang, mask):
 
 
 def icp_register(pts_i, mask_i, pts_j, mask_j, rel0, icp_iters=8,
-                 lm_iters=6, gate=1.0):
+                 lm_iters=6, gate=1.0, coarse_gate=None):
     """Register scan j onto scan i. rel0: (3,) initial relative pose of j in
-    i's frame. Returns (rel (3,), inlier_fraction, inlier_rms)."""
+    i's frame. Returns (rel (3,), inlier_fraction, inlier_rms).
+
+    When ``coarse_gate > gate`` the association gate anneals geometrically
+    from ``coarse_gate`` down to ``gate`` across the fixed ICP iterations —
+    a coarse-to-fine schedule that widens the convergence basin to several
+    meters of initial error (a drifted revisit) while the final inlier
+    verdict still uses the tight gate.  Default is ``coarse_gate == gate``
+    (no annealing): with sparse point-landmark scans a wide early gate can
+    alias onto the wrong landmark, so widening is an explicit, per-call
+    decision.  The schedule is a static per-step input to the `lax.scan`,
+    so the program stays fixed-shape.
+    """
     B = pts_j.shape[0]
+    if coarse_gate is None:
+        coarse_gate = gate
+    gates = jnp.geomspace(coarse_gate, gate, icp_iters).astype(pts_i.dtype)
 
     def transform(rel, p):
         c, s = jnp.cos(rel[2]), jnp.sin(rel[2])
@@ -61,10 +75,10 @@ def icp_register(pts_i, mask_i, pts_j, mask_j, rel0, icp_iters=8,
         d = jnp.where(mask_i[None, :], d, jnp.inf)
         return jnp.argmin(d, axis=1), jnp.min(d, axis=1)
 
-    def icp_step(rel, _):
+    def icp_step(rel, g):
         q = transform(rel, pts_j)
         idx, dmin = nearest(q)
-        ok = mask_j & (dmin < gate) & jnp.isfinite(dmin)
+        ok = mask_j & (dmin < g) & jnp.isfinite(dmin)
         target = pts_i[jnp.clip(idx, 0, pts_i.shape[0] - 1)]
 
         def resid(r):
@@ -74,7 +88,7 @@ def icp_register(pts_i, mask_i, pts_j, mask_j, rel0, icp_iters=8,
         rel = lm_minimize(resid, rel, iters=lm_iters)
         return rel, None
 
-    rel, _ = jax.lax.scan(icp_step, rel0, None, length=icp_iters)
+    rel, _ = jax.lax.scan(icp_step, rel0, gates)
     q = transform(rel, pts_j)
     _, dmin = nearest(q)
     ok = mask_j & (dmin < gate) & jnp.isfinite(dmin)
@@ -87,7 +101,9 @@ def icp_register(pts_i, mask_i, pts_j, mask_j, rel0, icp_iters=8,
 
 def detect(data: SweepData, x, min_gap: int = 150, radius: float = 2.0,
            max_pairs: int = 64, min_inliers: float = 0.5,
-           max_rms: float = 0.25, min_beams: int = 5) -> LoopClosures:
+           max_rms: float = 0.25, min_beams: int = 5,
+           icp_gate: float = 1.0,
+           icp_coarse_gate: Optional[float] = None) -> LoopClosures:
     """Find and verify loop closures on the current trajectory estimate."""
     xs = np.asarray(x)
     mask = np.asarray(data.mask)
@@ -128,7 +144,9 @@ def detect(data: SweepData, x, min_gap: int = 150, radius: float = 2.0,
     def register_all(pts_all, mask_all, rel0):
         return jax.vmap(
             lambda i, j, r0: icp_register(pts_all[i], mask_all[i],
-                                          pts_all[j], mask_all[j], r0)
+                                          pts_all[j], mask_all[j], r0,
+                                          gate=icp_gate,
+                                          coarse_gate=icp_coarse_gate)
         )(ii, jj, rel0)
 
     rel, frac, rms = register_all(pts_all, data.mask, rel0)
@@ -139,22 +157,35 @@ def detect(data: SweepData, x, min_gap: int = 150, radius: float = 2.0,
 
 def close_loops(data: SweepData, x, config, closures: Optional[LoopClosures]
                 = None, odo_weight: float = 5.0, loop_weight: float = 20.0,
-                gn_iters: int = 10, cg_iters: int = 200,
+                gn_iters: int = 10, cg_iters: int = 200, rounds: int = 1,
                 **detect_kw) -> Tuple[jnp.ndarray, LoopClosures]:
     """Detect closures (unless given) and pose-graph-correct the trajectory.
 
     Chain edges use the raw odometry's relative motions as measurements;
     closure edges use the ICP-estimated relatives.  Returns (x_corrected,
-    closures)."""
-    if closures is None:
-        closures = detect(data, x, **detect_kw)
+    closures of the final round).
+
+    ``rounds > 1`` iterates detect -> correct: each correction shrinks the
+    remaining drift, which pulls more revisit candidates inside the search
+    radius and the ICP convergence basin, so later rounds verify closures
+    the first pass could not (measured on the drifted two-lap world:
+    10 -> 25 -> 29 accepted closures, ATE 2.24 -> 1.74 -> 1.67 m;
+    benchmarks/loop_closure_eval.py).  Detection is host-side, so rounds
+    stay a Python loop.  If ``closures`` is given it seeds round 1;
+    later rounds re-detect.
+    """
     odo = data.odom
     odom_rel = relative_se2(odo[:-1], odo[1:])
-    if closures.pairs.shape[0] == 0:
-        return x, closures
-    g = from_trajectory(x, odom_rel_noise=odom_rel,
-                        loop_pairs=closures.pairs,
-                        loop_rel=jnp.asarray(closures.rel, x.dtype),
-                        odo_weight=odo_weight, loop_weight=loop_weight)
-    x_opt, _ = optimize(g, gn_iters=gn_iters, cg_iters=cg_iters)
-    return x_opt, closures
+    for _ in range(max(rounds, 1)):
+        if closures is None:
+            closures = detect(data, x, **detect_kw)
+        if closures.pairs.shape[0] == 0:
+            return x, closures
+        g = from_trajectory(x, odom_rel_noise=odom_rel,
+                            loop_pairs=closures.pairs,
+                            loop_rel=jnp.asarray(closures.rel, x.dtype),
+                            odo_weight=odo_weight, loop_weight=loop_weight)
+        x, _ = optimize(g, gn_iters=gn_iters, cg_iters=cg_iters)
+        last = closures
+        closures = None
+    return x, last

@@ -80,3 +80,42 @@ def test_exports(tmp_path):
     np.testing.assert_allclose(x2[:, :2], x[:, :2], atol=1e-5)
     dyaw = np.abs(np.mod(x2[:, 2] - x[:, 2] + np.pi, 2 * np.pi) - np.pi)
     np.testing.assert_allclose(dyaw, 0, atol=1e-5)
+
+
+def test_iterated_rounds_on_real_drift():
+    """Two-lap world, odometry integrated from biased controls (real drift):
+    iterated detect->correct rounds verify closures and cut ATE vs truth.
+    Mirrors benchmarks/loop_closure_eval.py at test scale."""
+    from icm_slam_tpu.models.loop_closure import close_loops
+    from icm_slam_tpu.data.datasets import Dataset
+
+    T = 600
+    ds, x_true, _ = synthetic_world(T=T, n_landmarks=90, world_size=35.0,
+                                    seed=5, odo_drift=0.0, laps=2,
+                                    return_truth=True)
+    rng = np.random.default_rng(6)
+    u_noisy = ds.u + np.stack([rng.normal(0, 0.03, T),
+                               rng.normal(0, 0.004, T) + 0.004], axis=1)
+    dt = 0.1
+    odo = np.zeros((T, 3))
+    odo[0] = x_true[0]
+    for t in range(1, T):
+        th = odo[t - 1, 2]
+        odo[t] = odo[t - 1] + dt * np.array(
+            [u_noisy[t - 1, 0] * np.cos(th),
+             u_noisy[t - 1, 0] * np.sin(th), u_noisy[t - 1, 1]])
+    drifted = Dataset(ds.scans, odo, u_noisy, x_true[0].copy(),
+                      name="synthetic-drift")
+    cfg = ICMConfig(L=256, cota=10.0, dtype="float32")
+    data = prepare(drifted, cfg)
+    x0 = jnp.asarray(odo, data.dist.dtype)
+
+    def ate(x):
+        return float(np.mean(np.linalg.norm(
+            np.asarray(x)[:, :2] - x_true[:, :2], axis=1)))
+
+    x_fix, cl = close_loops(data, x0, cfg, min_gap=120, radius=5.0,
+                            icp_coarse_gate=4.0, gn_iters=15, cg_iters=300,
+                            rounds=2)
+    assert cl.pairs.shape[0] >= 3
+    assert ate(x_fix) < 0.6 * ate(x0), (ate(x0), ate(x_fix))
