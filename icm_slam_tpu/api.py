@@ -17,7 +17,7 @@ import numpy as np
 
 from icm_slam_tpu.config import ICMConfig
 from icm_slam_tpu.data.datasets import Dataset, load
-from icm_slam_tpu.solver.icm import ICMResult, run
+from icm_slam_tpu.solver.icm import ICMResult, run, run_batched
 from icm_slam_tpu.utils import checkpoint as ckpt
 from icm_slam_tpu.utils.metrics import JsonlLogger, ate
 

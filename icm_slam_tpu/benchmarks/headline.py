@@ -139,6 +139,13 @@ def main(argv=None):
     ap.add_argument("--pallas-fused", action="store_true",
                     help="use the fused association+sums Pallas kernel "
                          "(opt-in A/B; ops/assoc_sums_pallas.py)")
+    ap.add_argument("--fleet", type=int, default=0,
+                    help="also measure fleet mode: the refine loop vmapped "
+                         "over this many replicated worlds in one program "
+                         "(solver.icm.run_batched's inner path). The "
+                         "roofline shows a single run is latency-bound; "
+                         "this reports how much of the idle chip parallel "
+                         "worlds recover")
     ap.add_argument("--no-palomar", action="store_true",
                     help="skip the secondary palomar row (added to the "
                          "same JSON line when the primary dataset is "
@@ -162,6 +169,11 @@ def main(argv=None):
     }
     if res["ate"] is not None:
         out["ate_vs_reference_m_at_n30"] = round(res["ate"], 4)
+    if res.get("fleet_fps"):
+        out["fleet_worlds"] = args.fleet
+        out["fleet_frames_per_s"] = round(res["fleet_fps"], 1)
+        out["fleet_speedup_vs_single"] = round(res["fleet_fps"] / res["fps"],
+                                               2)
     if args.dataset != "ijac2018":
         out["dataset"] = args.dataset
     elif not (args.frames or args.no_palomar):
@@ -252,6 +264,33 @@ def _bench_dataset(dataset: str, args, reps: int):
 
     fps = T / refine_s
 
+    # --- optional fleet row: W worlds through one vmapped refine loop ---
+    fleet_fps = None
+    if getattr(args, "fleet", 0) and args.fleet > 1:
+        W = args.fleet
+        rep = lambda a: jnp.stack([a] * W)
+        data_b = jax.tree.map(rep, data)
+        map_b = jax.tree.map(rep, m_w)
+        x_b = rep(x_w)
+
+        @jax.jit
+        def fleet_loop(d, mm, xs):
+            return jax.vmap(lambda di, mi, xi: _refine_loop_jit(
+                di, mi, xi, cfg, args.iters, with_metrics=False))(d, mm, xs)
+
+        mb, xb, _, _ = fleet_loop(data_b, map_b, x_b)
+        jax.block_until_ready(xb)
+        frs = []
+        for _ in range(max(1, reps)):
+            xb_in = xb + jnp.asarray(1e-30, xb.dtype)
+            jax.block_until_ready(xb_in)
+            t0 = time.perf_counter()
+            mb, xb, _, _ = fleet_loop(data_b, mb, xb_in)
+            jax.block_until_ready(xb)
+            frs.append(time.perf_counter() - t0)
+        frs.sort()
+        fleet_fps = W * T / (frs[len(frs) // 2] / args.iters)
+
     # quality self-check: the reported key is ATE at EXACTLY the golden
     # trace's N=30 sweeps past init.  When the timed loop already ran 30
     # (the default) its warmup output is that state; any other --iters gets
@@ -276,7 +315,7 @@ def _bench_dataset(dataset: str, args, reps: int):
               f"{init_compile_s:.1f}s); refine: {refine_s * 1e3:.1f} ms/iter",
               file=sys.stderr)
     return {"fps": fps, "ate": ate, "init_s": init_s,
-            "refine_s_per_iter": refine_s}
+            "refine_s_per_iter": refine_s, "fleet_fps": fleet_fps}
 
 
 if __name__ == "__main__":

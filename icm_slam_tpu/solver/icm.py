@@ -391,3 +391,104 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
         map_pos=np.asarray(cur_map.pos[:nact]),
         map_counts=np.asarray(cur_map.counts[:nact]),
         changes=np.asarray(changes), timings=timings)
+
+
+# ---------------------------------------------------------------------------
+# fleet mode: W worlds in one device program
+# ---------------------------------------------------------------------------
+
+def resolve_fleet_config(config: ICMConfig, datas) -> ICMConfig:
+    """Merge the per-world data-dependent resolutions into ONE static config.
+
+    Conservative in both caps: the widest beam cap of any world; the
+    association cap only if EVERY world proves one (a single unprovable
+    world disables it for the whole batch).  Worlds whose solo
+    ``resolve_config`` would pick tighter caps run with the merged (wider)
+    ones here — exactness is preserved (both caps are exact for any value
+    >= the per-world bound), but f32 reduction widths differ from the solo
+    run, so per-world results match ``run()`` bitwise only when ``run()``
+    is given this same merged config (how tests/test_fleet.py checks it).
+    """
+    shapes = {d.dist.shape for d in datas}
+    if len(shapes) != 1:
+        raise ValueError(f"run_batched needs identical dataset shapes; "
+                         f"got {sorted(shapes)}")
+    resolved = [resolve_config(config, d) for d in datas]
+    obs_cap = max(r.obs_cap for r in resolved)
+    caps = [r.map_run_cap for r in resolved]
+    run_cap = 0 if any(c == 0 for c in caps) else max(caps)
+    return dataclasses.replace(resolved[0], obs_cap=obs_cap,
+                               map_run_cap=run_cap)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "n_iters"))
+def _pipeline_batched_jit(datas, seeds, x0s, config, n_iters):
+    """vmap of the FULL pipeline (init -> filter -> fused refine loop) over a
+    leading world axis, compiled as one program."""
+
+    def one(data, seed, x0):
+        state, x_i, raw_nact = _init_jit(data, seed, x0, config)
+        cur_map = _filter_jit(state, config)
+        cur_map, x, witnesses, _ = _refine_loop_jit(
+            data, cur_map, x_i, config, n_iters, with_metrics=False)
+        return cur_map, x_i, x, raw_nact, witnesses
+
+    return jax.vmap(one)(datas, seeds, x0s)
+
+
+def run_batched(datasets, config: ICMConfig,
+                n_iters: Optional[int] = None) -> list:
+    """Run the full pipeline on W same-shape worlds as ONE device program.
+
+    The roofline analysis (benchmarks/roofline.py, docs/RESULTS.md) shows a
+    single reference-scale run is latency-bound at ~2.5% of HBM bandwidth:
+    the chip idles through the sweep's sequential dependency chain.  Extra
+    *parallel* work per step is nearly free — this entry point supplies it
+    by vmapping the whole pipeline (init sweep, map filter, fused
+    N-iteration refinement loop) over a fleet of trajectories: multi-robot
+    mapping, Monte-Carlo noise studies, or parameter ensembles over
+    replicated data.  Per-world results match `run()` to f32 op-reordering
+    noise (gated by tests/test_fleet.py).
+
+    Requirements: every dataset has identical (T, n_beams) shapes and one
+    shared config (the reference semantics per world are unchanged — worlds
+    never exchange information).  Witness guards run per world.
+    """
+    if not datasets:
+        return []
+    n_iters = config.N if n_iters is None else n_iters
+    timings = {}
+
+    t0 = time.perf_counter()
+    datas = [prepare(ds, config) for ds in datasets]
+    config = resolve_fleet_config(config, datas)
+
+    x0s = [jnp.asarray(ds.x0, datas[0].dist.dtype) for ds in datasets]
+    seeds = [seed_map(d, x0, config) for d, x0 in zip(datas, x0s)]
+    stack = lambda leaves: jax.tree.map(lambda *ls: jnp.stack(ls), *leaves)
+    datas_b, seeds_b = stack(datas), stack(seeds)
+    x0s_b = jnp.stack(x0s)
+    jax.block_until_ready(seeds_b)
+    timings["prepare_s"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    cur_map, x_init, x, raw_nact, witnesses = _pipeline_batched_jit(
+        datas_b, seeds_b, x0s_b, config, n_iters)
+    jax.block_until_ready(x)
+    timings["pipeline_s"] = time.perf_counter() - t0
+    timings["per_world_s"] = timings["pipeline_s"] / len(datasets)
+
+    results = []
+    for wdx in range(len(datasets)):
+        check_table_overflow(raw_nact[wdx], config.L,
+                             f"init sweep (world {wdx})")
+        for k in range(n_iters):
+            check_witness(witnesses[wdx, k], config,
+                          f"refinement sweep {k} (world {wdx})")
+        nact = int(cur_map.nact[wdx])
+        results.append(ICMResult(
+            x_init=np.asarray(x_init[wdx]), x=np.asarray(x[wdx]),
+            map_pos=np.asarray(cur_map.pos[wdx, :nact]),
+            map_counts=np.asarray(cur_map.counts[wdx, :nact]),
+            changes=np.zeros((0, 3)), timings=dict(timings)))
+    return results
