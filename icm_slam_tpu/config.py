@@ -67,6 +67,28 @@ class ICMConfig:
                                      # (census 10/11, ATE 0.144) — 32 is the
                                      # only setting validated across BOTH
                                      # datasets AND profiles
+    init_merge_cap: int = 0          # width of the batched init's final
+                                     # duplicate merge: 0 = full L (default;
+                                     # nothing bounds the raw allocated-
+                                     # label count a priori, so this cap is
+                                     # opt-in), -1 = follow map_run_cap,
+                                     # >0 explicit.  Runtime-witnessed: the
+                                     # merge sees ALL allocated labels, so
+                                     # exactness needs raw_nact <= cap —
+                                     # run() errors otherwise (pointing
+                                     # back at init_merge_cap=0)
+    init_final_assoc: bool = True    # rebuild the chunk's committed table
+                                     # from the CONVERGED poses (one extra
+                                     # association pass per chunk).  False
+                                     # commits the last Picard round's
+                                     # masses (computed at that round's
+                                     # pre-solve predictions) — one pass
+                                     # less sequential depth per chunk;
+                                     # opt-in pending quality validation
+    init_gn_iters: int = 0           # LM iterations per init pose solve
+                                     # (0 = pose_gn_iters); the init's
+                                     # Picard rounds re-solve every pose, so
+                                     # cheaper inner solves may lose nothing
     pose_gn_iters: int = 8           # LM iterations per pose solve
     pose_passes: int = 2             # red-black half-pass pairs per batched sweep
     replicate_new_obs_quirk: bool = True  # ICM_SLAM.py:176 empty-slice quirk

@@ -143,10 +143,23 @@ def kept_count(state: MapState, cota) -> jnp.ndarray:
     return jnp.sum(live & (state.counts >= cota)).astype(jnp.int32)
 
 
-def check_witness(witness, config: ICMConfig, where: str = "sweep") -> None:
-    """Host-side validation of a sweep's [raw_nact, kept_count] witness."""
+def check_witness(witness, config: ICMConfig, where: str = "sweep",
+                  init_merge_cap: int = 0) -> None:
+    """Host-side validation of a sweep's [raw_nact, kept_count] witness.
+
+    ``init_merge_cap``: nonzero for the batched init's witness when its
+    final duplicate merge was cap-sliced (sweeps.resolve_init_merge_cap) —
+    that merge runs at cota=0, so EVERY allocated label must fit in the
+    cap for it to be exact."""
     w = np.asarray(witness)
     check_table_overflow(w[0], config.L, where)
+    if init_merge_cap and int(w[0]) > init_merge_cap:
+        raise RuntimeError(
+            f"cap-sliced init merge violated in {where}: {int(w[0])} labels "
+            f"were allocated but the duplicate merge only covered the "
+            f"first init_merge_cap={init_merge_cap} columns — landmark "
+            f"mass past the cap was silently dropped. Rerun with "
+            f"init_merge_cap=0 (full-width merge) or a larger cap.")
     cap = config.map_run_cap
     if cap and int(w[1]) >= cap:
         raise RuntimeError(
@@ -345,9 +358,12 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
     cur_map = _filter_jit(state, config)
     jax.block_until_ready(x)
     timings["init_s"] = time.perf_counter() - t0
+    from icm_slam_tpu.solver.sweeps import resolve_init_merge_cap
     check_witness(jnp.stack([raw_nact.astype(jnp.int32),
                              kept_count(state, config.cota)]),
-                  config, "init sweep")
+                  config, "init sweep",
+                  init_merge_cap=(resolve_init_merge_cap(config)
+                                  if use_batched_init(config) else 0))
     x_init = np.asarray(x)
     if on_init is not None:
         on_init(x_init)
@@ -478,10 +494,17 @@ def run_batched(datasets, config: ICMConfig,
     timings["pipeline_s"] = time.perf_counter() - t0
     timings["per_world_s"] = timings["pipeline_s"] / len(datasets)
 
+    from icm_slam_tpu.solver.sweeps import resolve_init_merge_cap
+    merge_cap = (resolve_init_merge_cap(config)
+                 if use_batched_init(config) else 0)
     results = []
     for wdx in range(len(datasets)):
         check_table_overflow(raw_nact[wdx], config.L,
                              f"init sweep (world {wdx})")
+        if merge_cap and int(raw_nact[wdx]) > merge_cap:
+            check_witness(np.array([int(raw_nact[wdx]), 0]), config,
+                          f"init sweep (world {wdx})",
+                          init_merge_cap=merge_cap)
         for k in range(n_iters):
             check_witness(witnesses[wdx, k], config,
                           f"refinement sweep {k} (world {wdx})")

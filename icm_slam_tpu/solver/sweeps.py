@@ -179,6 +179,20 @@ def init_sweep(data: SweepData, seed: MapState, x0, config, w
 # batched (Picard) init sweep — TPU-native ICM iteration 0
 # ---------------------------------------------------------------------------
 
+def resolve_init_merge_cap(config) -> int:
+    """Static width of the batched init's final duplicate merge.
+
+    ``init_merge_cap``: -1 follows ``map_run_cap`` (the resolved value),
+    0 disables (full L), >0 is explicit.  The merge runs at cota=0 —
+    every allocated label survives into the compaction — so a cap-sliced
+    merge is exact iff the raw allocated-label count stays <= cap; the
+    caller must witness that (run() checks the init witness and errors,
+    pointing at init_merge_cap=0)."""
+    cap = (config.map_run_cap if config.init_merge_cap < 0
+           else config.init_merge_cap)
+    return cap if 0 < cap < config.L else 0
+
+
 def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
                        ) -> Tuple[MapState, jnp.ndarray, jnp.ndarray]:
     """Causal init (ICM_ROS.py:47-119) as a chunked-Picard sweep.
@@ -404,7 +418,8 @@ def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
                     odo_cur=odom_c[i], x_next=z3, u_cur=z2, odo_next=z3)
                 return lm_minimize(
                     lambda xx: one_sided_residuals(xx, prob, w, model),
-                    xp[i], iters=config.pose_gn_iters,
+                    xp[i], iters=config.init_gn_iters or
+                    config.pose_gn_iters,
                     jac_fn=None if jac1 is None else
                     (lambda xx: jac1(xx, prob, w)))
 
@@ -443,14 +458,19 @@ def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
             pts_prev = pts
             x = solve_round(x_prev_arr, xp, matched)
 
-        # final map-build with the CONVERGED poses (no solves): the quirk
-        # new-label rule applies here, so the committed table carries the
-        # reference's label structure computed from settled predictions —
-        # transient junk from the Picard rounds holds no mass
-        x_prev_arr = jnp.concatenate([x_last[None], x[:-1]], 0)
-        xp = model.kinematics(x_prev_arr, u_prev_c, deltat)
-        pts = beams_to_world(xp, dist_c, ang_c)
-        lab, n_new, _, fx, fy, fc = assoc_pass(pts, pts_prev, lab)
+        if config.init_final_assoc:
+            # final map-build with the CONVERGED poses (no solves): the
+            # quirk new-label rule applies here, so the committed table
+            # carries the reference's label structure computed from settled
+            # predictions — transient junk from the Picard rounds holds no
+            # mass
+            x_prev_arr = jnp.concatenate([x_last[None], x[:-1]], 0)
+            xp = model.kinematics(x_prev_arr, u_prev_c, deltat)
+            pts = beams_to_world(xp, dist_c, ang_c)
+            lab, n_new, _, fx, fy, fc = assoc_pass(pts, pts_prev, lab)
+        # else: commit the LAST Picard round's masses (computed at that
+        # round's pre-solve predictions) — one association pass less of
+        # sequential depth per chunk (init_final_assoc=False, opt-in)
 
         carry = (fx, fy, fc, nact + n_new, x[-1])
         return carry, x
@@ -472,8 +492,14 @@ def init_sweep_batched(data: SweepData, seed: MapState, x0, config, w
     # the landmark entirely.  Merging first reconstructs the sequential
     # table structure (cota pruning still happens in the normal filter
     # step that follows the init).
+    # the merge (cota=0) sees ALL allocated labels, so a cap-sliced merge
+    # is exact iff raw_nact <= cap — runtime-witnessed: run() errors on
+    # violation (unlike the refine filter, whose keep mask prunes to the
+    # provable cota bound before compaction).  Cuts the K-step relabel
+    # walk + KxK matrix from L=1024 to the cap width.
     from icm_slam_tpu.mapping.landmark_map import filter_map as _merge
-    merged = _merge(MapState(pos, fcnt, nact), 0.0, dist_thr)
+    merged = _merge(MapState(pos, fcnt, nact), 0.0, dist_thr,
+                    live_cap=resolve_init_merge_cap(config))
     # the merge compacts nact to <= L, which would mask a table overflow —
     # return the RAW allocated-label count so run()'s check_table_overflow
     # can actually fire on this (default) init path

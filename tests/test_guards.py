@@ -241,3 +241,42 @@ def test_assoc_onehot_and_scatter_paths_agree():
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(x_oh), np.asarray(x_sc),
                                atol=1e-4)
+
+
+def test_init_merge_cap_exact_and_witnessed():
+    """Cap-sliced init merge (init_merge_cap) is bitwise-equal to the
+    full-width merge while the raw allocated-label count fits the cap, and
+    run() raises when it does not."""
+    from icm_slam_tpu.solver.icm import (_init_jit, seed_map,
+                                         use_batched_init)
+    from icm_slam_tpu.solver.sweeps import resolve_init_merge_cap
+    import jax.numpy as jnp
+
+    ds = synthetic_world(T=240, n_landmarks=20, seed=2)
+    cfg = ICMConfig(N=0, L=256, cota=5.0, map_run_cap=64,
+                    map_run_cap_checked=True, init_merge_cap=-1,
+                    dtype="float32")
+    data = prepare(ds, cfg)
+    cfg = resolve_config(cfg, data)
+    assert use_batched_init(cfg)
+    assert resolve_init_merge_cap(cfg) == 64
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    seed = seed_map(data, x0, cfg)
+    s_cap, x_cap, r_cap = _init_jit(data, seed, x0, cfg)
+    cfg_full = dataclasses.replace(cfg, init_merge_cap=0)
+    s_full, x_full, r_full = _init_jit(data, seed, x0, cfg_full)
+    assert int(r_cap) == int(r_full) <= 64
+    n = int(s_cap.nact)
+    assert n == int(s_full.nact)
+    np.testing.assert_array_equal(np.asarray(x_cap), np.asarray(x_full))
+    np.testing.assert_array_equal(np.asarray(s_cap.pos[:n]),
+                                  np.asarray(s_full.pos[:n]))
+    np.testing.assert_array_equal(np.asarray(s_cap.counts[:n]),
+                                  np.asarray(s_full.counts[:n]))
+
+    # violation: an explicit cap below the allocated-label count must be a
+    # hard error from run(), not a silent mass drop
+    cfg_bad = ICMConfig(N=0, L=256, cota=5.0, map_run_cap=0,
+                        init_merge_cap=4, dtype="float32")
+    with pytest.raises(RuntimeError, match="init_merge_cap"):
+        run(ds, cfg_bad, n_iters=0)
