@@ -78,8 +78,8 @@ def main(argv=None):
             ts.append((time.perf_counter() - t0) * 1e3 / args.iters)
         return _median(ts)
 
-    def time_init(rounds):
-        cfg0 = ICMConfig(N=0, L=1024, init_rounds=rounds)
+    def time_init(rounds, **kw):
+        cfg0 = ICMConfig(N=0, L=1024, init_rounds=rounds, **kw)
         data, cfg, x0, seed = setup(cfg0)
         st, x, _ = _init_jit(data, seed, x0, cfg)
         jax.block_until_ready(x)
@@ -102,6 +102,18 @@ def main(argv=None):
                if jax.devices()[0].platform == "tpu" else None)
     i_r1 = time_init(1)
     i_r2 = time_init(2)
+    # round-3 depth-reduction candidates (opt-in knobs; full N=30 quality
+    # matrix green on both datasets x both profiles — docs/RESULTS.md)
+    i_merge_cap = time_init(2, init_merge_cap=-1)
+    i_no_final = time_init(2, init_final_assoc=False)
+    i_gn4 = time_init(2, init_gn_iters=4)
+    i_all = time_init(2, init_merge_cap=-1, init_final_assoc=False,
+                      init_gn_iters=4)
+    # C=48 alone loses a landmark at the fast profile (round-2 cliff), but
+    # C=48 + no-final-assoc is green on all four combos — the deepest
+    # validated depth cut (~55% fewer sequential steps than C=32/R=2)
+    i_c48_all = time_init(2, init_chunk_len=48, init_merge_cap=-1,
+                          init_final_assoc=False, init_gn_iters=4)
 
     per_lm_iter = (r_fast - r_gn2) / 4.0
     non_lm = r_gn1 - per_lm_iter          # assoc + map + half-pass + filter
@@ -124,7 +136,12 @@ def main(argv=None):
                                             - 2 * 2 * per_lm_iter, 2),
         },
         "init_ms": {"rounds_1": round(i_r1, 1), "rounds_2": round(i_r2, 1),
-                    "per_round": round(i_r2 - i_r1, 1)},
+                    "per_round": round(i_r2 - i_r1, 1),
+                    "k1_merge_cap": round(i_merge_cap, 1),
+                    "k2_no_final_assoc": round(i_no_final, 1),
+                    "k3_init_gn4": round(i_gn4, 1),
+                    "k123_combined": round(i_all, 1),
+                    "c48_k123_combined": round(i_c48_all, 1)},
     }
     print(json.dumps(out))
 

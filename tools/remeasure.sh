@@ -39,8 +39,12 @@ run bench_fast          600 python bench.py
 run bench_default       600 python bench.py --passes 2 --gn-iters 8
 run bench_palomar_fast  600 python bench.py --dataset palomar
 run bench_palomar_def   600 python bench.py --dataset palomar --passes 2 --gn-iters 8
-run attribution         900 python benchmarks/attribution.py
+run attribution         1200 python benchmarks/attribution.py
 run stress              900 python benchmarks/stress_long.py
 run bench_fused_ab      600 python bench.py --pallas-fused
+# round-3 additions: fleet scaling, online streaming, roofline timing
+run bench_fleet8        900 python bench.py --fleet 8 --no-palomar
+run online              900 python benchmarks/online_eval.py
+run roofline            900 python benchmarks/roofline.py --measure
 
 echo "== results in $OUT" >&2
