@@ -42,8 +42,11 @@ run bench_palomar_def   600 python bench.py --dataset palomar --passes 2 --gn-it
 run attribution         1200 python benchmarks/attribution.py
 run stress              900 python benchmarks/stress_long.py
 run bench_fused_ab      600 python bench.py --pallas-fused
-# round-3 additions: fleet scaling, online streaming, roofline timing
+# round-3 additions: fleet scaling, online streaming, roofline timing,
+# and the quality-validated turbo profile (1 pass x 3 LM iters: full-depth
+# matrix green at ATE 0.037/0.053 — docs/RESULTS.md)
 run bench_fleet8        900 python bench.py --fleet 8 --no-palomar
+run bench_turbo_1p3g    600 python bench.py --gn-iters 3
 run online              900 python benchmarks/online_eval.py
 run roofline            900 python benchmarks/roofline.py --measure
 
