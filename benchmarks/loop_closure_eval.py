@@ -20,6 +20,15 @@ The reference has no loop-closure capability at all (SURVEY §2) — this is
 a beyond-reference component, so the comparison is against ground truth,
 not against a reference trace.
 
+Operating regime (measured, docs/RESULTS.md): pose-graph closure helps
+when the accumulated drift is large against the ICP closure measurement
+noise (~6-7 cm RMS here).  Below that — e.g. a short 800-frame run where
+ICM alone reaches 0.06 m ATE — the correction substitutes noisier closure
+measurements for an already-better estimate and the reported
+``improvement_x`` drops below 1 (an A/B of chain-edge sources showed
+estimate-relative chains do not fix this; they just under-correct at real
+drift, so raw-odometry chains stay the default).
+
 Usage: python benchmarks/loop_closure_eval.py [--frames 2000] [--drift 0.02]
 """
 import argparse
@@ -35,28 +44,11 @@ sys.path.insert(0, os.path.normpath(os.path.join(
 
 def drifted_dataset(T, n_landmarks, world_size, seed, v_noise, w_noise,
                     w_bias, laps=1):
-    """Ground-truth world + odometry integrated from corrupted controls."""
-    from icm_slam_tpu.data.datasets import Dataset, synthetic_world
-    ds, x_true, landmarks = synthetic_world(
-        T=T, n_landmarks=n_landmarks, world_size=world_size, seed=seed,
-        loop=True, odo_drift=0.0, return_truth=True, laps=laps)
-    rng = np.random.default_rng(seed + 1)
-    u_true = ds.u
-    u_noisy = u_true + np.stack(
-        [rng.normal(0, v_noise, T),
-         rng.normal(0, w_noise, T) + w_bias], axis=1)
-    dt = 0.1
-    odo = np.zeros((T, 3))
-    odo[0] = x_true[0]
-    for t in range(1, T):
-        th = odo[t - 1, 2]
-        odo[t] = odo[t - 1] + dt * np.array(
-            [u_noisy[t - 1, 0] * np.cos(th),
-             u_noisy[t - 1, 0] * np.sin(th),
-             u_noisy[t - 1, 1]])
-    drifted = Dataset(ds.scans, odo, u_noisy, x_true[0].copy(),
-                      name="synthetic-drift")
-    return drifted, x_true, landmarks
+    """Shared generator — see icm_slam_tpu.data.datasets.drifted_world."""
+    from icm_slam_tpu.data.datasets import drifted_world
+    return drifted_world(T=T, n_landmarks=n_landmarks,
+                         world_size=world_size, seed=seed, v_noise=v_noise,
+                         w_noise=w_noise, w_bias=w_bias, laps=laps)
 
 
 def ate(x, x_true):

@@ -58,9 +58,13 @@ def main(argv=None):
     ds = load(args.dataset)
     cfg = ICMConfig(N=args.iters, L=1024, dtype="float32")
 
-    # warmup session: compiles the chunk program + the finish() programs
-    eng_w, _ = stream_all(ds.slice(2 * args.chunk + 2), cfg, args.chunk)
-    eng_w.finish(refine=True, n_iters=1)
+    # warmup session: compiles the chunk program + the finish() programs.
+    # Must stream the FULL T and refine at the measured n_iters — the
+    # refine loop is jitted with static (shapes, n_iters), so a smaller
+    # warmup would leave the measured finish() compile-dominated
+    # (20-60 s through the tunnel vs the actual sub-second refine)
+    eng_w, _ = stream_all(ds, cfg, args.chunk)
+    eng_w.finish(refine=True, n_iters=args.iters)
 
     # measured session (fresh engine; programs warm)
     eng, stream_s = stream_all(ds, cfg, args.chunk)

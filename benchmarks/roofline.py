@@ -175,10 +175,21 @@ def main(argv=None):
             reps.append(time.perf_counter() - t0)
         reps.sort()
         refine_s = reps[len(reps) // 2] / args.iters
-        t0 = time.perf_counter()
+        # init timing must CHAIN a dependency: same-buffer repeats are
+        # memoized by the runtime (~0.03 ms) — perturb x0 with a
+        # value-identical fresh buffer each rep (attribution.py protocol)
         s2, x2, _ = _init_jit(data, seed, x0, cfg)
         jax.block_until_ready(x2)
-        init_s = time.perf_counter() - t0
+        inits = []
+        for _ in range(5):
+            x0c = x0 + 1e-30 * x2[-1]
+            jax.block_until_ready(x0c)
+            t0 = time.perf_counter()
+            s2, x2, _ = _init_jit(data, seed, x0c, cfg)
+            jax.block_until_ready(x2)
+            inits.append(time.perf_counter() - t0)
+        inits.sort()
+        init_s = inits[len(inits) // 2]
 
     # ---- report ------------------------------------------------------------
     def row(name, fl, by, t_s=None):

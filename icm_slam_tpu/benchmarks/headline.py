@@ -182,7 +182,12 @@ def main(argv=None):
         # already compiled — this costs ~1 s of pure runtime and gives the
         # second dataset a driver-captured perf+ATE record each round.
         try:
-            p = _bench_dataset("palomar", args, reps=max(1, args.reps // 2))
+            import copy
+            # the fleet block only reports for the primary dataset —
+            # don't silently re-run the W-world measurement here
+            pargs = copy.copy(args)
+            pargs.fleet = 0
+            p = _bench_dataset("palomar", pargs, reps=max(1, args.reps // 2))
             out["palomar_frames_per_s"] = round(p["fps"], 1)
             if p["ate"] is not None:
                 out["palomar_ate_vs_reference_m_at_n30"] = round(p["ate"], 4)

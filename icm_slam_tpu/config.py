@@ -85,8 +85,10 @@ class ICMConfig:
                                      # pre-solve predictions) — one pass
                                      # less sequential depth per chunk;
                                      # opt-in pending quality validation
-    init_gn_iters: int = 0           # LM iterations per init pose solve
-                                     # (0 = pose_gn_iters); the init's
+    init_gn_iters: int = 0           # LM iterations per init pose solve in
+                                     # the BATCHED init only (0 =
+                                     # pose_gn_iters; the sequential init
+                                     # always uses pose_gn_iters).  The
                                      # Picard rounds re-solve every pose, so
                                      # cheaper inner solves may lose nothing
     pose_gn_iters: int = 8           # LM iterations per pose solve

@@ -154,6 +154,38 @@ def synthetic_world(T=600, n_landmarks=40, n_beams=181, max_range=10.0,
     return ds
 
 
+def drifted_world(T=2000, n_landmarks=150, world_size=50.0, seed=3,
+                  v_noise=0.03, w_noise=0.004, w_bias=0.001, laps=2):
+    """Ground-truth world + odometry integrated from corrupted controls.
+
+    Unlike ``synthetic_world``'s additive random walk, the drift here is
+    generated the way real wheel odometry drifts: white noise plus a
+    constant yaw-rate bias on the CONTROLS, Euler-integrated into the
+    published odometry — so heading error compounds into unbounded position
+    drift.  Returns (drifted Dataset, true trajectory (T,3), landmarks).
+    Used by benchmarks/loop_closure_eval.py and tests/test_loop_closure.py.
+    """
+    ds, x_true, landmarks = synthetic_world(
+        T=T, n_landmarks=n_landmarks, world_size=world_size, seed=seed,
+        loop=True, odo_drift=0.0, return_truth=True, laps=laps)
+    rng = np.random.default_rng(seed + 1)
+    u_noisy = ds.u + np.stack(
+        [rng.normal(0, v_noise, T),
+         rng.normal(0, w_noise, T) + w_bias], axis=1)
+    dt = 0.1
+    odo = np.zeros((T, 3))
+    odo[0] = x_true[0]
+    for t in range(1, T):
+        th = odo[t - 1, 2]
+        odo[t] = odo[t - 1] + dt * np.array(
+            [u_noisy[t - 1, 0] * np.cos(th),
+             u_noisy[t - 1, 0] * np.sin(th),
+             u_noisy[t - 1, 1]])
+    drifted = Dataset(ds.scans, odo, u_noisy, x_true[0].copy(),
+                      name="synthetic-drift")
+    return drifted, x_true, landmarks
+
+
 def load(name_or_path: str, **kw) -> Dataset:
     if name_or_path.endswith("data_IJAC2018.mat") or name_or_path == "ijac2018":
         path = name_or_path if name_or_path.endswith(".mat") else \

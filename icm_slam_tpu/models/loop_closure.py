@@ -176,11 +176,14 @@ def close_loops(data: SweepData, x, config, closures: Optional[LoopClosures]
     """
     odo = data.odom
     odom_rel = relative_se2(odo[:-1], odo[1:])
+    last = None
     for _ in range(max(rounds, 1)):
         if closures is None:
             closures = detect(data, x, **detect_kw)
         if closures.pairs.shape[0] == 0:
-            return x, closures
+            # a dry later round must not discard the closures that WERE
+            # applied — return the last applied set
+            return x, (closures if last is None else last)
         g = from_trajectory(x, odom_rel_noise=odom_rel,
                             loop_pairs=closures.pairs,
                             loop_rel=jnp.asarray(closures.rel, x.dtype),

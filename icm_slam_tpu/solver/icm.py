@@ -422,8 +422,11 @@ def resolve_fleet_config(config: ICMConfig, datas) -> ICMConfig:
     ``resolve_config`` would pick tighter caps run with the merged (wider)
     ones here — exactness is preserved (both caps are exact for any value
     >= the per-world bound), but f32 reduction widths differ from the solo
-    run, so per-world results match ``run()`` bitwise only when ``run()``
-    is given this same merged config (how tests/test_fleet.py checks it).
+    run, so per-world reproduction requires giving ``run()`` this same
+    merged config — the cap is marked checked so a re-resolve keeps it.
+    Even then the vmapped program may pack lanes differently on capped
+    paths (f32 reduction reorder, <= 1e-5); tests/test_fleet.py pins both
+    the bitwise uncapped case and the noise-level capped case.
     """
     shapes = {d.dist.shape for d in datas}
     if len(shapes) != 1:
@@ -433,8 +436,13 @@ def resolve_fleet_config(config: ICMConfig, datas) -> ICMConfig:
     obs_cap = max(r.obs_cap for r in resolved)
     caps = [r.map_run_cap for r in resolved]
     run_cap = 0 if any(c == 0 for c in caps) else max(caps)
+    # mark the merged cap as checked: re-resolving this config (e.g. a solo
+    # run() reproducing one fleet world) must keep the MERGED width, not
+    # re-shrink to that world's tighter 128-aligned bound — the per-sweep
+    # witnesses already guard the cap at runtime
     return dataclasses.replace(resolved[0], obs_cap=obs_cap,
-                               map_run_cap=run_cap)
+                               map_run_cap=run_cap,
+                               map_run_cap_checked=run_cap > 0)
 
 
 @functools.partial(jax.jit, static_argnames=("config", "n_iters"))
@@ -444,10 +452,14 @@ def _pipeline_batched_jit(datas, seeds, x0s, config, n_iters):
 
     def one(data, seed, x0):
         state, x_i, raw_nact = _init_jit(data, seed, x0, config)
+        # same init witness run() enforces: [raw allocated labels,
+        # kept-after-cota count] — the second guards the cap-sliced filter
+        init_wit = jnp.stack([raw_nact.astype(jnp.int32),
+                              kept_count(state, config.cota)])
         cur_map = _filter_jit(state, config)
         cur_map, x, witnesses, _ = _refine_loop_jit(
             data, cur_map, x_i, config, n_iters, with_metrics=False)
-        return cur_map, x_i, x, raw_nact, witnesses
+        return cur_map, x_i, x, init_wit, witnesses
 
     return jax.vmap(one)(datas, seeds, x0s)
 
@@ -488,7 +500,7 @@ def run_batched(datasets, config: ICMConfig,
     timings["prepare_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    cur_map, x_init, x, raw_nact, witnesses = _pipeline_batched_jit(
+    cur_map, x_init, x, init_wit, witnesses = _pipeline_batched_jit(
         datas_b, seeds_b, x0s_b, config, n_iters)
     jax.block_until_ready(x)
     timings["pipeline_s"] = time.perf_counter() - t0
@@ -499,12 +511,8 @@ def run_batched(datasets, config: ICMConfig,
                  if use_batched_init(config) else 0)
     results = []
     for wdx in range(len(datasets)):
-        check_table_overflow(raw_nact[wdx], config.L,
-                             f"init sweep (world {wdx})")
-        if merge_cap and int(raw_nact[wdx]) > merge_cap:
-            check_witness(np.array([int(raw_nact[wdx]), 0]), config,
-                          f"init sweep (world {wdx})",
-                          init_merge_cap=merge_cap)
+        check_witness(init_wit[wdx], config, f"init sweep (world {wdx})",
+                      init_merge_cap=merge_cap)
         for k in range(n_iters):
             check_witness(witnesses[wdx, k], config,
                           f"refinement sweep {k} (world {wdx})")

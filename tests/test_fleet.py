@@ -40,3 +40,33 @@ def test_batched_rejects_mixed_shapes():
 
 def test_batched_empty():
     assert run_batched([], ICMConfig(N=1)) == []
+
+
+def test_batched_matches_per_world_heterogeneous_caps():
+    """Worlds whose solo resolutions prove DIFFERENT map_run_caps (128 vs
+    256): the merged config must carry the widest cap marked checked, so a
+    solo run() given it reproduces the fleet result bitwise instead of
+    re-shrinking to its own tighter bound."""
+    worlds = [synthetic_world(T=256, n_landmarks=10, world_size=25.0,
+                              seed=0),
+              synthetic_world(T=256, n_landmarks=30, world_size=22.0,
+                              seed=2)]
+    cfg = ICMConfig(N=2, L=1024, cota=40.0, dtype="float32")
+    from icm_slam_tpu.solver.icm import resolve_config
+    solo_caps = [resolve_config(cfg, prepare(w, cfg)).map_run_cap
+                 for w in worlds]
+    assert sorted(solo_caps) == [128, 256], solo_caps
+    merged = resolve_fleet_config(cfg, [prepare(w, cfg) for w in worlds])
+    assert merged.map_run_cap == 256 and merged.map_run_cap_checked
+    # run() must NOT re-shrink the checked merged cap
+    assert resolve_config(merged, prepare(worlds[0], cfg)).map_run_cap == 256
+    batched = run_batched(worlds, cfg)
+    for ds, rb in zip(worlds, batched):
+        r1 = run(ds, merged)
+        assert r1.map_pos.shape == rb.map_pos.shape
+        # not bitwise here: with capped association paths the vmapped
+        # program packs lanes differently and reorders f32 reductions
+        # (measured: ~2% of elements at <= 1e-5) — the contract is
+        # same-census + f32-noise-level poses
+        np.testing.assert_allclose(rb.x, r1.x, atol=1e-4)
+        np.testing.assert_allclose(rb.map_pos, r1.map_pos, atol=1e-4)

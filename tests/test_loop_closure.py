@@ -87,28 +87,14 @@ def test_iterated_rounds_on_real_drift():
     iterated detect->correct rounds verify closures and cut ATE vs truth.
     Mirrors benchmarks/loop_closure_eval.py at test scale."""
     from icm_slam_tpu.models.loop_closure import close_loops
-    from icm_slam_tpu.data.datasets import Dataset
+    from icm_slam_tpu.data.datasets import drifted_world
 
-    T = 600
-    ds, x_true, _ = synthetic_world(T=T, n_landmarks=90, world_size=35.0,
-                                    seed=5, odo_drift=0.0, laps=2,
-                                    return_truth=True)
-    rng = np.random.default_rng(6)
-    u_noisy = ds.u + np.stack([rng.normal(0, 0.03, T),
-                               rng.normal(0, 0.004, T) + 0.004], axis=1)
-    dt = 0.1
-    odo = np.zeros((T, 3))
-    odo[0] = x_true[0]
-    for t in range(1, T):
-        th = odo[t - 1, 2]
-        odo[t] = odo[t - 1] + dt * np.array(
-            [u_noisy[t - 1, 0] * np.cos(th),
-             u_noisy[t - 1, 0] * np.sin(th), u_noisy[t - 1, 1]])
-    drifted = Dataset(ds.scans, odo, u_noisy, x_true[0].copy(),
-                      name="synthetic-drift")
+    drifted, x_true, _ = drifted_world(T=600, n_landmarks=90,
+                                       world_size=35.0, seed=5,
+                                       w_bias=0.004, laps=2)
     cfg = ICMConfig(L=256, cota=10.0, dtype="float32")
     data = prepare(drifted, cfg)
-    x0 = jnp.asarray(odo, data.dist.dtype)
+    x0 = jnp.asarray(drifted.odom, data.dist.dtype)
 
     def ate(x):
         return float(np.mean(np.linalg.norm(
