@@ -132,6 +132,12 @@ def main(argv=None):
                          "conservative engine default, ATE 0.016 m)")
     ap.add_argument("--gn-iters", type=int, default=None,
                     help="LM iterations per pose solve (6 fast / 8 default)")
+    ap.add_argument("--jacobi", action="store_true",
+                    help="pose_update=jacobi: one full Jacobi pass per "
+                         "pose_pass instead of a red-black Gauss-Seidel "
+                         "pair — half the sequential LM depth; full-depth "
+                         "quality matrix green on both datasets "
+                         "(docs/RESULTS.md)")
     ap.add_argument("--pallas", action="store_true",
                     help="use the Pallas correspondence kernel (opt-in; "
                          "measured neutral vs XLA fusion at reference AND "
@@ -219,6 +225,8 @@ def _bench_dataset(dataset: str, args, reps: int):
                     dtype="float32",
                     use_pallas_assoc=on_tpu and args.pallas,
                     use_pallas_fused_assoc=on_tpu and args.pallas_fused,
+                    pose_update="jacobi" if getattr(args, "jacobi", False)
+                    else "redblack",
                     pose_passes=passes, pose_gn_iters=gn_iters)
 
     data = prepare(ds, cfg)

@@ -93,6 +93,15 @@ class ICMConfig:
                                      # cheaper inner solves may lose nothing
     pose_gn_iters: int = 8           # LM iterations per pose solve
     pose_passes: int = 2             # red-black half-pass pairs per batched sweep
+    pose_update: str = "redblack"    # redblack | jacobi — batched-sweep pose
+                                     # update order.  redblack = Gauss-Seidel
+                                     # half-passes (fresh odd neighbours for
+                                     # the even pass); jacobi = one full pass
+                                     # per pose_pass against the previous
+                                     # pass's neighbours — half the
+                                     # sequential LM depth (the sweep is
+                                     # latency-bound), different fixed-point
+                                     # path; opt-in, quality-gated
     replicate_new_obs_quirk: bool = True  # ICM_SLAM.py:176 empty-slice quirk
     use_pallas_assoc: bool = False   # fused TPU correspondence kernel
     use_pallas_fused_assoc: bool = False

@@ -912,15 +912,21 @@ def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,
     _, final_map, matched = batched_associate(data_c, old_map, x, config)
     obs = (data_c.dist, data_c.ang, data_c.mask, matched)
 
-    def half_pass(x, parity):
-        start = 1 if parity == 1 else 2
-        ts = jnp.arange(start, T, 2)                          # static shape
+    def solve_at(x, ts, parity=None):
+        """Solve the poses ``ts`` against the CURRENT x (two-sided; the
+        last real frame one-sided, ICM_ROS.py:153-156), with the empty-
+        frame neighbour average and padded-frame freeze."""
         cand = _solve_two_at(data, x, obs, config, w, ts)
-        # the final real pose uses the one-sided cost (ICM_ROS.py:153-156)
-        if int(last_t) % 2 == parity and int(last_t) >= start:
-            pos = (int(last_t) - start) // 2
-            cand = cand.at[pos].set(
-                _solve_one_at(data, x, obs, config, w, last_t))
+        if parity is None:
+            if int(last_t) >= 1:
+                cand = cand.at[int(last_t) - 1].set(
+                    _solve_one_at(data, x, obs, config, w, last_t))
+        else:
+            start = 1 if parity == 1 else 2
+            if int(last_t) % 2 == parity and int(last_t) >= start:
+                pos = (int(last_t) - start) // 2
+                cand = cand.at[pos].set(
+                    _solve_one_at(data, x, obs, config, w, last_t))
         tm1 = jnp.maximum(ts - 1, 0)
         # clamp the forward neighbour to the last REAL frame: on a padded
         # time axis x[last_t + 1] is a zero pose and would pull an empty
@@ -932,7 +938,16 @@ def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,
         cand = jnp.where(keep, cand, x[ts])
         return x.at[ts].set(cand)
 
-    for _ in range(config.pose_passes):
-        x = half_pass(x, 1)
-        x = half_pass(x, 0)
+    if config.pose_update == "jacobi":
+        # one full Jacobi pass per pose_pass: every pose solved against the
+        # PREVIOUS pass's neighbours — half the sequential LM depth of a
+        # red-black pair (the sweep is latency-bound, docs/RESULTS.md
+        # roofline).  Different fixed-point path than Gauss-Seidel
+        # red-black; opt-in, quality-gated like every profile knob.
+        for _ in range(config.pose_passes):
+            x = solve_at(x, jnp.arange(1, T))
+    else:
+        for _ in range(config.pose_passes):
+            x = solve_at(x, jnp.arange(1, T, 2), parity=1)
+            x = solve_at(x, jnp.arange(2, T, 2), parity=0)
     return final_map, x

@@ -46,3 +46,14 @@ def test_palomar_full_depth(profile):
     res = run(load_palomar(PALOMAR), ICMConfig(N=30, L=1024,
                                                **PROFILES[profile]))
     _check(res, np.load(path))
+
+
+@pytest.mark.slow
+def test_jacobi_full_depth(ijac, golden_full):
+    """pose_update="jacobi" (one full pass per pose_pass, half the
+    sequential LM depth) must hold full-run quality like every published
+    profile.  CPU-validated matrix: ijac 0.0253/0.0525, palomar
+    0.0282/0.0540 (default/fast), census 11/11 everywhere."""
+    res = run(ijac, ICMConfig(N=30, L=1024, pose_update="jacobi",
+                              **PROFILES["default"]))
+    _check(res, golden_full)

@@ -47,6 +47,8 @@ run bench_fused_ab      600 python bench.py --pallas-fused
 # matrix green at ATE 0.037/0.053 — docs/RESULTS.md)
 run bench_fleet8        900 python bench.py --fleet 8 --no-palomar
 run bench_turbo_1p3g    600 python bench.py --gn-iters 3
+run bench_jacobi        600 python bench.py --jacobi --no-palomar
+run bench_jacobi_turbo  600 python bench.py --jacobi --gn-iters 3 --no-palomar
 run online              900 python benchmarks/online_eval.py
 run roofline            900 python benchmarks/roofline.py --measure
 
