@@ -32,6 +32,16 @@ def _add_common(ap):
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--plot", default=None, metavar="DIR",
                     help="save trajectory/convergence PNGs to DIR")
+    ap.add_argument("--profile", choices=["fast", "default", "turbo"],
+                    default=None,
+                    help="validated knob preset: fast = 1 pass x 6 LM "
+                         "iters (ATE 0.037), default = 2 x 8 (ATE 0.016), "
+                         "turbo = 1 x 3 (ATE 0.037-0.053; full-depth "
+                         "matrix green, docs/RESULTS.md)")
+    ap.add_argument("--jacobi", action="store_true",
+                    help="pose_update=jacobi: full Jacobi passes instead "
+                         "of red-black half-pass pairs (half the "
+                         "sequential LM depth; quality-gated in-suite)")
     ap.add_argument("--pallas", action="store_true",
                     help="use the Pallas correspondence kernel (opt-in; "
                          "measured neutral vs XLA fusion at all tested "
@@ -81,6 +91,13 @@ def _build(args):
         overrides.setdefault("use_pallas_assoc", True)
     if args.pallas_fused:
         overrides.setdefault("use_pallas_fused_assoc", True)
+    if getattr(args, "profile", None):
+        p, g = {"fast": (1, 6), "default": (2, 8), "turbo": (1, 3)}[
+            args.profile]
+        overrides.setdefault("pose_passes", p)
+        overrides.setdefault("pose_gn_iters", g)
+    if getattr(args, "jacobi", False):
+        overrides.setdefault("pose_update", "jacobi")
     cfg = (ICMConfig.from_yaml(args.config, **overrides) if args.config
            else ICMConfig(**overrides))
     ds = load(args.dataset)
