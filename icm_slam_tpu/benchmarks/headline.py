@@ -121,11 +121,13 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
-    ap.add_argument("--profile", choices=["fast", "default"], default=None,
+    ap.add_argument("--profile", choices=["fast", "default", "turbo"],
+                    default=None,
                     help="validated knob preset: fast = --passes 1 "
                          "--gn-iters 6 (ATE 0.037), default = --passes 2 "
-                         "--gn-iters 8 (ATE 0.016); explicit --passes/"
-                         "--gn-iters win")
+                         "--gn-iters 8 (ATE 0.016), turbo = --passes 1 "
+                         "--gn-iters 3 (ATE 0.037-0.053); explicit "
+                         "--passes/--gn-iters win")
     ap.add_argument("--passes", type=int, default=None,
                     help="red-black half-pass pairs per sweep (1 = the "
                          "validated fast profile, ATE 0.037 m; 2 = the "
@@ -217,7 +219,8 @@ def _bench_dataset(dataset: str, args, reps: int):
     if args.frames:
         ds = ds.slice(args.frames)
     T = ds.T
-    preset_p, preset_g = (2, 8) if args.profile == "default" else (1, 6)
+    preset_p, preset_g = {"default": (2, 8), "turbo": (1, 3)}.get(
+        args.profile, (1, 6))
     passes = preset_p if args.passes is None else args.passes
     gn_iters = preset_g if args.gn_iters is None else args.gn_iters
     on_tpu = jax.devices()[0].platform != "cpu"
