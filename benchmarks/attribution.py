@@ -109,10 +109,14 @@ def main(argv=None):
     i_gn4 = time_init(2, init_gn_iters=4)
     i_all = time_init(2, init_merge_cap=-1, init_final_assoc=False,
                       init_gn_iters=4)
-    # C=48 alone loses a landmark at the fast profile (round-2 cliff), but
-    # C=48 + no-final-assoc is green on all four combos — the deepest
-    # validated depth cut (~55% fewer sequential steps than C=32/R=2)
+    # bigger chunks alone lose landmarks (round-2 cliff), but with
+    # no-final-assoc the cliff moves out to C=96: C=64+K2+K3 is green on
+    # all four combos at BETTER ATE than C=48 (0.029-0.043) — the deepest
+    # validated depth cut (29 steps x 2 assoc x 4 LM vs 58 x 3 x 6-8,
+    # ~67% fewer sequential steps than C=32/R=2)
     i_c48_all = time_init(2, init_chunk_len=48, init_merge_cap=-1,
+                          init_final_assoc=False, init_gn_iters=4)
+    i_c64_all = time_init(2, init_chunk_len=64, init_merge_cap=-1,
                           init_final_assoc=False, init_gn_iters=4)
 
     per_lm_iter = (r_fast - r_gn2) / 4.0
@@ -141,7 +145,8 @@ def main(argv=None):
                     "k2_no_final_assoc": round(i_no_final, 1),
                     "k3_init_gn4": round(i_gn4, 1),
                     "k123_combined": round(i_all, 1),
-                    "c48_k123_combined": round(i_c48_all, 1)},
+                    "c48_k123_combined": round(i_c48_all, 1),
+                    "c64_k123_combined": round(i_c64_all, 1)},
     }
     print(json.dumps(out))
 

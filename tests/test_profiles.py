@@ -57,3 +57,24 @@ def test_jacobi_full_depth(ijac, golden_full):
     res = run(ijac, ICMConfig(N=30, L=1024, pose_update="jacobi",
                               **PROFILES["default"]))
     _check(res, golden_full)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("dataset", ["ijac2018", "palomar"])
+def test_init_c64_candidate_full_depth(dataset, ijac, golden_full):
+    """The round-3 lead init recipe (C=64 chunks + no-final-assoc +
+    init_gn=4, ~67% fewer sequential init steps) must hold full-run
+    quality at the FAST profile — the historical landmark-loss mode for
+    big init chunks (round-2 C=48 cliff)."""
+    kw = dict(init_chunk_len=64, init_final_assoc=False, init_gn_iters=4,
+              **PROFILES["fast"])
+    if dataset == "ijac2018":
+        res = run(ijac, ICMConfig(N=30, L=1024, **kw))
+        _check(res, golden_full)
+    else:
+        path = os.path.join(GOLDEN_DIR, "palomar_T1833_N30_inconsistent.npz")
+        if not (os.path.exists(path) and os.path.exists(PALOMAR)):
+            pytest.skip("palomar data/golden not present")
+        from icm_slam_tpu.data.datasets import load_palomar
+        res = run(load_palomar(PALOMAR), ICMConfig(N=30, L=1024, **kw))
+        _check(res, np.load(path))
