@@ -161,12 +161,30 @@ def main(argv=None):
     args = ap.parse_args(argv)
 
     import jax
+    done = None
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     else:
         rc = _guard_tpu_backend()
         if rc:
             return rc
+        # whole-run deadman: backend init can succeed and the FIRST device
+        # op still hang forever (a held single-tenant chip, CLAUDE.md).
+        # Whatever happens, the driver's capture must end with one
+        # structured JSON line, never an empty timeout.
+        import threading
+        done = threading.Event()
+        deadman_s = float(os.environ.get("ICM_BENCH_DEADMAN_S", "1500"))
+
+        def _deadman():
+            if not done.wait(deadman_s):
+                _emit_tpu_error(
+                    f"bench did not complete within {deadman_s:.0f} s "
+                    f"(backend initialized but a device op stalled — "
+                    f"likely a held chip or dead tunnel mid-run)")
+                os._exit(3)
+
+        threading.Thread(target=_deadman, daemon=True).start()
 
     res = _bench_dataset(args.dataset, args, reps=max(1, args.reps))
     out = {
@@ -201,6 +219,8 @@ def main(argv=None):
                 out["palomar_ate_vs_reference_m_at_n30"] = round(p["ate"], 4)
         except Exception as e:  # secondary row must never kill the capture
             out["palomar_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+    if done is not None:
+        done.set()              # disarm the deadman (library callers)
     print(json.dumps(out))
 
 
