@@ -42,15 +42,6 @@ sys.path.insert(0, os.path.normpath(os.path.join(
     os.path.dirname(os.path.abspath(__file__)), "..")))
 
 
-def drifted_dataset(T, n_landmarks, world_size, seed, v_noise, w_noise,
-                    w_bias, laps=1):
-    """Shared generator — see icm_slam_tpu.data.datasets.drifted_world."""
-    from icm_slam_tpu.data.datasets import drifted_world
-    return drifted_world(T=T, n_landmarks=n_landmarks,
-                         world_size=world_size, seed=seed, v_noise=v_noise,
-                         w_noise=w_noise, w_bias=w_bias, laps=laps)
-
-
 def ate(x, x_true):
     return float(np.mean(np.linalg.norm(
         np.asarray(x)[:, :2] - x_true[:, :2], axis=1)))
@@ -87,12 +78,14 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from icm_slam_tpu.config import ICMConfig
+    from icm_slam_tpu.data.datasets import drifted_world
     from icm_slam_tpu.models.loop_closure import close_loops
     from icm_slam_tpu.solver.icm import prepare, resolve_config, run
 
-    ds, x_true, _ = drifted_dataset(args.frames, args.landmarks, args.world,
-                                    args.seed, args.v_noise, args.w_noise,
-                                    args.w_bias, laps=args.laps)
+    ds, x_true, _ = drifted_world(T=args.frames, n_landmarks=args.landmarks,
+                                  world_size=args.world, seed=args.seed,
+                                  v_noise=args.v_noise, w_noise=args.w_noise,
+                                  w_bias=args.w_bias, laps=args.laps)
     ate_odo = ate(ds.odom, x_true)
     end_gap = float(np.linalg.norm(ds.odom[-1, :2] - x_true[-1, :2]))
 

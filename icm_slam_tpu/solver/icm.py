@@ -143,6 +143,15 @@ def kept_count(state: MapState, cota) -> jnp.ndarray:
     return jnp.sum(live & (state.counts >= cota)).astype(jnp.int32)
 
 
+def _init_merge_cap(config: ICMConfig) -> int:
+    """The init-witness merge cap to enforce: nonzero only when the batched
+    init ran AND its final duplicate merge was cap-sliced."""
+    if not use_batched_init(config):
+        return 0
+    from icm_slam_tpu.solver.sweeps import resolve_init_merge_cap
+    return resolve_init_merge_cap(config)
+
+
 def check_witness(witness, config: ICMConfig, where: str = "sweep",
                   init_merge_cap: int = 0) -> None:
     """Host-side validation of a sweep's [raw_nact, kept_count] witness.
@@ -358,12 +367,10 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
     cur_map = _filter_jit(state, config)
     jax.block_until_ready(x)
     timings["init_s"] = time.perf_counter() - t0
-    from icm_slam_tpu.solver.sweeps import resolve_init_merge_cap
     check_witness(jnp.stack([raw_nact.astype(jnp.int32),
                              kept_count(state, config.cota)]),
                   config, "init sweep",
-                  init_merge_cap=(resolve_init_merge_cap(config)
-                                  if use_batched_init(config) else 0))
+                  init_merge_cap=_init_merge_cap(config))
     x_init = np.asarray(x)
     if on_init is not None:
         on_init(x_init)
@@ -506,9 +513,7 @@ def run_batched(datasets, config: ICMConfig,
     timings["pipeline_s"] = time.perf_counter() - t0
     timings["per_world_s"] = timings["pipeline_s"] / len(datasets)
 
-    from icm_slam_tpu.solver.sweeps import resolve_init_merge_cap
-    merge_cap = (resolve_init_merge_cap(config)
-                 if use_batched_init(config) else 0)
+    merge_cap = _init_merge_cap(config)
     results = []
     for wdx in range(len(datasets)):
         check_witness(init_wit[wdx], config, f"init sweep (world {wdx})",
