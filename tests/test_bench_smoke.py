@@ -20,3 +20,12 @@ def test_headline_bench_json_contract(capsys):
     assert payload["vs_baseline"] > 0
     # truncated runs must not claim a full-depth quality number
     assert "ate_vs_reference_m_at_n30" not in payload
+
+
+def test_headline_bench_fleet_and_profile_flags(capsys):
+    main(["--cpu", "--frames", "120", "--iters", "2", "--reps", "1",
+          "--fleet", "2", "--jacobi", "--profile", "turbo"])
+    payload = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert payload["fleet_worlds"] == 2
+    assert payload["fleet_frames_per_s"] > 0
+    assert payload["fleet_speedup_vs_single"] > 0
