@@ -62,10 +62,13 @@ def main():
     seed = seed_map(data, x0, cfg)
 
     t0 = time.perf_counter()
-    state, x, _ = _init_jit(data, seed, x0, cfg)
+    state, x, raw_nact = _init_jit(data, seed, x0, cfg)
     jax.block_until_ready(x)
     init_s = time.perf_counter() - t0
-    check_witness(jnp.stack([state.nact.astype(jnp.int32),
+    # witness on the PRE-merge raw count (same as run(), solver/icm.py):
+    # the batched init compacts state.nact to <= L, so an overflow would be
+    # invisible in post-merge state — exactly at this 20k-frame stress site
+    check_witness(jnp.stack([raw_nact.astype(jnp.int32),
                              kept_count(state, cfg.cota)]), cfg, "init sweep")
     cur = _filter_jit(state, cfg)
 

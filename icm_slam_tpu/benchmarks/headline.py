@@ -174,7 +174,10 @@ def main(argv=None):
         # structured JSON line, never an empty timeout.
         import threading
         done = threading.Event()
-        deadman_s = float(os.environ.get("ICM_BENCH_DEADMAN_S", "1500"))
+        # default below tools/remeasure.sh's per-job `timeout 600` so a
+        # mid-run device stall still ends with one structured JSON line
+        # instead of being killed silently by the outer harness timeout
+        deadman_s = float(os.environ.get("ICM_BENCH_DEADMAN_S", "480"))
 
         def _deadman():
             if not done.wait(deadman_s):
@@ -186,6 +189,23 @@ def main(argv=None):
 
         threading.Thread(target=_deadman, daemon=True).start()
 
+    try:
+        return _run_and_report(args, done)
+    except SystemExit:
+        raise
+    except Exception as e:
+        if done is None:          # CPU path: a traceback is fine/debuggable
+            raise
+        # TPU path contract: the driver capture ALWAYS ends with one
+        # parseable JSON line, even on a device error after backend init
+        _emit_tpu_error(f"{type(e).__name__}: {str(e)[:300]}")
+        return 2
+    finally:
+        if done is not None:
+            done.set()            # disarm the deadman on every exit path
+
+
+def _run_and_report(args, done):
     res = _bench_dataset(args.dataset, args, reps=max(1, args.reps))
     out = {
         "metric": "icm_refine_frames_per_s",
@@ -219,8 +239,6 @@ def main(argv=None):
                 out["palomar_ate_vs_reference_m_at_n30"] = round(p["ate"], 4)
         except Exception as e:  # secondary row must never kill the capture
             out["palomar_error"] = f"{type(e).__name__}: {str(e)[:200]}"
-    if done is not None:
-        done.set()              # disarm the deadman (library callers)
     print(json.dumps(out))
 
 

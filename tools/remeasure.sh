@@ -31,7 +31,10 @@ probe; gap
 run() {  # run <label> <timeout_s> <cmd...>
     local label="$1" to="$2"; shift 2
     echo "== $label" >&2
-    timeout "$to" "$@" 2>/dev/null | tail -1 | tee -a "$OUT"
+    # bench deadman must fire BEFORE the outer timeout so a mid-run device
+    # stall still produces a structured JSON line (ADVICE r3)
+    ICM_BENCH_DEADMAN_S=$((to - 120)) \
+        timeout "$to" "$@" 2>/dev/null | tail -1 | tee -a "$OUT"
     gap
 }
 
