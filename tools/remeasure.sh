@@ -48,7 +48,7 @@ run bench_fused_ab      600 python bench.py --pallas-fused
 # round-3 additions: fleet scaling, online streaming, roofline timing,
 # and the quality-validated turbo profile (1 pass x 3 LM iters: full-depth
 # matrix green at ATE 0.037/0.053 — docs/RESULTS.md)
-run bench_fleet8        900 python bench.py --fleet 8 --no-palomar
+run fleet_curve         1800 python benchmarks/fleet_curve.py
 run bench_turbo_1p3g    600 python bench.py --gn-iters 3
 run bench_jacobi        600 python bench.py --jacobi --no-palomar
 run bench_jacobi_turbo  600 python bench.py --jacobi --gn-iters 3 --no-palomar
