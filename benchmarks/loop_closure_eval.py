@@ -95,10 +95,11 @@ def main(argv=None):
 
     data = prepare(ds, cfg)
     rcfg = resolve_config(cfg, data)
+    guard = {}
     x_fix, cl = close_loops(data, jnp.asarray(res.x), rcfg,
                             min_gap=args.min_gap, radius=args.radius,
                             icp_coarse_gate=4.0, gn_iters=20, cg_iters=400,
-                            rounds=args.rounds)
+                            rounds=args.rounds, report=guard)
     ate_closed = ate(x_fix, x_true)
 
     report = {
@@ -114,6 +115,9 @@ def main(argv=None):
         if cl.pairs.shape[0] else None,
         "inlier_rms_mean_m": round(float(np.mean(cl.rms)), 4)
         if cl.pairs.shape[0] else None,
+        # per-round regime-guard decisions (applied / est_drift vs gate):
+        # in the low-drift regime the guard no-ops instead of regressing
+        "guard_rounds": guard.get("rounds", []),
     }
     print(json.dumps(report))
 

@@ -27,12 +27,20 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
                 resume: bool = False,
                 log_path: Optional[str] = None,
                 verbose: bool = False,
-                live_plot=None) -> ICMResult:
+                live_plot=None,
+                checkpoint_every: int = 5) -> ICMResult:
     """Full offline pipeline on a Dataset (or dataset name/path).
 
     ``live_plot``: a ``utils.viz.LivePlot`` (or True for a default one) —
     re-plots trajectory + map after EVERY ICM iteration, the reference's
     per-iteration graficar2 loop (ICM_ROS.py:304,313-315).
+
+    ``checkpoint_every``: when ONLY ``checkpoint_dir`` is set (no logger /
+    live plot), the refinement runs as fused K-iteration device programs
+    with a checkpoint at each segment boundary — one-program throughput at
+    K-iteration crash granularity instead of paying the per-iteration
+    dispatch tax (~13% at the fast profile).  A per-iteration observer
+    (logger/live_plot) forces K=1.
     """
     if isinstance(dataset, str):
         dataset = load(dataset)
@@ -52,12 +60,16 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
                 logger.log("resume", path=path, start_iter=start_iter)
             # resume = rerun remaining iterations from the checkpointed state
             return _resume_run(dataset, config, state, start_iter,
-                               checkpoint_dir, logger)
+                               checkpoint_dir, logger,
+                               checkpoint_every=checkpoint_every)
 
     # only attach a per-iteration callback when it has work to do — with
     # no observer run() fuses the whole refinement loop into one device
-    # program (solver.icm._refine_loop_jit)
-    needs_cb = bool(checkpoint_dir or logger or live_plot is not None)
+    # program (solver.icm._refine_loop_jit); checkpoint-only runs keep the
+    # fused path in K-iteration segments (callback_stride)
+    per_iter_observer = bool(logger or live_plot is not None)
+    needs_cb = bool(checkpoint_dir or per_iter_observer)
+    stride = 1 if per_iter_observer else max(int(checkpoint_every), 1)
 
     def cb(k, cur_map, x):
         if checkpoint_dir:
@@ -82,7 +94,8 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
                                 x_init=x_init)
 
     result = run(dataset, config, verbose=verbose,
-                 callback=cb if needs_cb else None, on_init=on_init)
+                 callback=cb if needs_cb else None, on_init=on_init,
+                 callback_stride=stride)
     if logger:
         logger.log("done", landmarks=result.map_pos.shape[0],
                    timings=result.timings,
@@ -91,11 +104,12 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
 
 
 def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
-                start_iter: int, checkpoint_dir, logger) -> ICMResult:
+                start_iter: int, checkpoint_dir, logger,
+                checkpoint_every: int = 5) -> ICMResult:
     import jax.numpy as jnp
     from icm_slam_tpu.mapping.landmark_map import MapState
-    from icm_slam_tpu.solver.icm import (_refine_jit, check_witness,
-                                         map_change, prepare, resolve_config)
+    from icm_slam_tpu.solver.icm import (_refine_loop_jit, check_witness,
+                                         prepare, resolve_config)
 
     data = prepare(dataset, config)
     config = resolve_config(config, data)
@@ -116,23 +130,30 @@ def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
     if x_init is None:
         x_init = np.asarray(x)
 
+    # same segmented fused loop as run_offline's checkpoint path: per-
+    # iteration witnesses/changes come back from inside each segment, the
+    # checkpoint lands at segment boundaries.  A logger forces stride 1.
+    stride = max(int(checkpoint_every), 1) if not logger else 1
     changes = []
     import time as _time
     t0 = _time.perf_counter()
-    for k in range(start_iter, config.N):
-        prev = cur_map
-        cur_map, x, witness = _refine_jit(data, prev, x, config)
-        check_witness(witness, config, f"refinement sweep {k}")
-        changes.append([float(c) for c in
-                        map_change(cur_map, prev,
-                                   live_cap=config.map_run_cap)])
+    k = start_iter
+    while k < config.N:
+        seg = min(stride, config.N - k)
+        cur_map, x, wit, chg = _refine_loop_jit(data, cur_map, x, config,
+                                                seg)
+        wit = np.asarray(wit)
+        for j in range(seg):
+            check_witness(wit[j], config, f"refinement sweep {k + j}")
+        changes.extend(np.asarray(chg).tolist())
+        k += seg
         if checkpoint_dir:
             nact = int(cur_map.nact)
-            ckpt.save(os.path.join(checkpoint_dir, f"icm_ckpt_{k}.npz"),
-                      k, np.asarray(x), np.asarray(cur_map.pos[:nact]),
+            ckpt.save(os.path.join(checkpoint_dir, f"icm_ckpt_{k - 1}.npz"),
+                      k - 1, np.asarray(x), np.asarray(cur_map.pos[:nact]),
                       np.asarray(cur_map.counts[:nact]), nact)
         if logger:
-            logger.log("iteration", k=k, landmarks=int(cur_map.nact))
+            logger.log("iteration", k=k - 1, landmarks=int(cur_map.nact))
     refine_s = _time.perf_counter() - t0
 
     nact = int(cur_map.nact)

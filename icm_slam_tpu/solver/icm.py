@@ -339,17 +339,35 @@ def map_change(new_map: MapState, old_map: MapState, live_cap: int = 0):
                         axis=-1)
     d = jnp.where(live_old[:, None] & live_new[None, :], d, jnp.inf)
     md = jnp.min(d, axis=0)
-    md = jnp.where(live_new, md, jnp.nan)
-    return jnp.stack([jnp.nanmin(md), jnp.nanmax(md), jnp.nanmean(md)])
+    # masked reductions (not nan-ops): an all-masked slice must not poison
+    # the metrics — an EMPTY map (either side) yields zeros instead of NaN
+    # (reachable on degenerate/fuzz worlds where no landmark survives cota)
+    mn = jnp.min(jnp.where(live_new, md, jnp.inf))
+    mx = jnp.max(jnp.where(live_new, md, -jnp.inf))
+    mean = (jnp.sum(jnp.where(live_new, md, 0.0))
+            / jnp.maximum(jnp.sum(live_new), 1))
+    stats = jnp.stack([mn, mx, mean]).astype(d.dtype)
+    empty = (new_map.nact == 0) | (old_map.nact == 0)
+    return jnp.where(empty, jnp.zeros((3,), d.dtype), stats)
 
 
 def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
-        verbose: bool = False, callback=None, on_init=None) -> ICMResult:
+        verbose: bool = False, callback=None, on_init=None,
+        callback_stride: int = 1) -> ICMResult:
     """Full pipeline: init + N ICM iterations.
 
     ``on_init(x_init)`` fires right after the init sweep (before any
     refinement) so callers can persist the iteration-0 trajectory even if
     the refinement loop later crashes.
+
+    ``callback_stride > 1`` runs the refinement as ceil(N/stride) FUSED
+    segments (each one device program via ``_refine_loop_jit``) and fires
+    ``callback(k, cur_map, x)`` only at segment boundaries (k = the last
+    completed iteration index).  This keeps the one-program throughput —
+    the per-iteration observer path pays a measured ~1.1 ms/iter tunnel
+    dispatch tax, ~13% at the fast profile — at the cost of observer
+    granularity; per-iteration map-change metrics and witnesses are still
+    collected on-device inside each segment.
     """
     n_iters = config.N if n_iters is None else n_iters
     timings = {}
@@ -384,6 +402,21 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
         jax.block_until_ready(x)
         witnesses = list(np.asarray(witnesses)) if n_iters else []
         changes = np.asarray(changes).tolist()
+    elif callback is not None and callback_stride > 1 and not verbose:
+        # segmented fused loop: observer fires every `stride` iterations,
+        # each segment is one device program (VERDICT r3 #6 — checkpointing
+        # no longer forfeits the fused path)
+        witnesses, changes = [], []
+        k = 0
+        while k < n_iters:
+            seg = min(callback_stride, n_iters - k)
+            cur_map, x, wit, chg = _refine_loop_jit(data, cur_map, x,
+                                                    config, seg)
+            witnesses.extend(list(np.asarray(wit)))
+            changes.extend(np.asarray(chg).tolist())
+            k += seg
+            callback(k - 1, cur_map, x)
+        jax.block_until_ready(x)
     else:
         changes = []
         witnesses = []

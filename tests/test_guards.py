@@ -280,3 +280,37 @@ def test_init_merge_cap_exact_and_witnessed():
                         init_merge_cap=4, dtype="float32")
     with pytest.raises(RuntimeError, match="init_merge_cap"):
         run(ds, cfg_bad, n_iters=0)
+
+
+def test_map_change_empty_maps_yield_zeros_not_nan():
+    # VERDICT r3 weak #5: an empty map (either side) used to NaN-poison the
+    # convergence metrics via nanmin over an all-NaN slice
+    from icm_slam_tpu.mapping.landmark_map import MapState, empty_map
+    from icm_slam_tpu.solver.icm import map_change
+
+    L = 16
+    empty = empty_map(L)
+    full = MapState(jnp.ones((L, 2), jnp.float32),
+                    jnp.ones((L,), jnp.float32),
+                    jnp.asarray(3, jnp.int32))
+    for a, b in [(empty, empty), (empty, full), (full, empty)]:
+        chg = np.asarray(map_change(a, b))
+        assert np.all(np.isfinite(chg)) and np.all(chg == 0.0), chg
+    # non-degenerate stays exact: identical maps -> all-zero displacement
+    chg = np.asarray(map_change(full, full))
+    assert np.allclose(chg, 0.0) and np.all(np.isfinite(chg))
+    # and a shifted map reports the shift
+    shifted = full._replace(pos=full.pos + jnp.asarray([0.5, 0.0]))
+    chg = np.asarray(map_change(shifted, full))
+    assert np.allclose(chg, 0.5, atol=1e-6), chg
+
+
+def test_degenerate_world_run_keeps_finite_metrics():
+    # a world whose landmarks never reach cota: the filtered map is empty
+    # every iteration; the run must complete with finite (zero) map-change
+    # rows instead of NaN
+    ds = synthetic_world(T=40, n_landmarks=6, seed=3)
+    cfg = ICMConfig(N=2, L=64, cota=1e6, dtype="float32")
+    res = run(ds, cfg)
+    assert res.map_pos.shape[0] == 0
+    assert np.all(np.isfinite(np.asarray(res.changes)))
