@@ -205,10 +205,15 @@ class RosBridgeSource:
         self._client = roslibpy.Ros(host=host, port=port)
 
     def _on_laser(self, msg):
+        # radio=0: the engine (preprocess_ranges, via OnlineSLAM._filter /
+        # prepare) adds the tree radius exactly once at compute time —
+        # parsing with config.radio here would add it TWICE on this path.
+        # (The reference adds it in Lidar.callback because its engine
+        # consumes pre-compensated ranges; ours consumes raw.)
         self.sync.feed_laser(
             stamp_of(msg),
             parse_laser_scan(msg, self.config.rango_laser_max,
-                             self.config.radio, self.config.n_beams))
+                             0.0, self.config.n_beams))
 
     def _on_odom(self, msg):
         pose, u = parse_odometry(msg)

@@ -26,9 +26,15 @@ def stream_dataset(ds: Dataset, hz: float = 0.0
 
 
 def publish_to_rosbridge(ds: Dataset, config, hz: float = 10.0,
-                         host: str = "localhost", port: int = 9090):
+                         host: str = "localhost", port: int = 9090,
+                         speedup: float = 1.0):
     """Publish a dataset as live LaserScan/Odometry topics over rosbridge —
-    the reference's matlab2ros/createbag.py feeder.  Requires roslibpy."""
+    the reference's matlab2ros/createbag.py feeder.  Requires roslibpy
+    (or the in-process loopback, runtime/fake_rosbridge.py).
+
+    ``speedup > 1`` replays in sim time: header stamps keep the 1/hz grid
+    (so downstream time-sync behaves identically) while wall-clock sleeps
+    shrink by the factor — rosbag play's --rate, for tests/backfill."""
     import math
 
     try:
@@ -74,6 +80,6 @@ def publish_to_rosbridge(ds: Dataset, config, hz: float = 10.0,
                     "angular": {"x": 0.0, "y": 0.0,
                                 "z": float(ds.u[k, 1])}},
                     "covariance": [0.0] * 36}}))
-            time.sleep(1.0 / hz)
+            time.sleep(1.0 / (hz * max(speedup, 1e-9)))
     finally:
         client.terminate()
