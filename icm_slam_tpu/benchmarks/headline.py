@@ -153,13 +153,13 @@ def main(argv=None):
     ap.add_argument("--pallas-fused", action="store_true",
                     help="use the fused association+sums Pallas kernel "
                          "(opt-in A/B; ops/assoc_sums_pallas.py)")
-    ap.add_argument("--fleet", type=int, default=0,
+    ap.add_argument("--fleet", type=int, default=8,
                     help="also measure fleet mode: the refine loop vmapped "
                          "over this many replicated worlds in one program "
-                         "(solver.icm.run_batched's inner path). The "
-                         "roofline shows a single run is latency-bound; "
-                         "this reports how much of the idle chip parallel "
-                         "worlds recover")
+                         "(solver.icm.run_batched's inner path).  Default "
+                         "8 = the measured knee of the scaling curve "
+                         "(benchmarks/fleet_curve.py: 1.74-1.82x aggregate "
+                         "across profiles); 0 disables the row")
     ap.add_argument("--no-palomar", action="store_true",
                     help="skip the secondary palomar row (added to the "
                          "same JSON line when the primary dataset is "
