@@ -87,18 +87,11 @@ def main():
         mb, xb, _, _ = loop(data_b, map_b, x_b)   # compile + warmup
         jax.block_until_ready(xb)
         compile_s = time.perf_counter() - t0
-        ts = []
-        for _ in range(max(1, args.reps)):
-            # chain on the previous output; nudge defeats same-buffer
-            # runtime memoization (CLAUDE.md measurement traps)
-            xb_in = xb + jnp.asarray(1e-30, xb.dtype)
-            jax.block_until_ready(xb_in)
-            t0 = time.perf_counter()
-            mb, xb, _, _ = loop(data_b, mb, xb_in)
-            jax.block_until_ready(xb)
-            ts.append(time.perf_counter() - t0)
-        ts.sort()
-        it_ms = ts[len(ts) // 2] / args.iters * 1e3
+        # chained-median protocol, shared helper (CLAUDE.md traps)
+        from icm_slam_tpu.benchmarks.timing import timed_chained_median_s
+        med_s, _, _ = timed_chained_median_s(
+            lambda mm, xs: loop(data_b, mm, xs)[:2], mb, xb, args.reps)
+        it_ms = med_s / args.iters * 1e3
         if base_ms is None:
             base_ms = it_ms if W == 1 else None
         row = {"W": W, "ms_per_iter": round(it_ms, 2),

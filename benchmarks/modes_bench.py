@@ -80,11 +80,16 @@ def main():
         state, x, _ = _init_jit(data, seed, x0, cfg)
         cur_map = _filter_jit(state, cfg)
 
+        from icm_slam_tpu.benchmarks.timing import timed_chained_median_s
+        x30 = None
         if mode == "sequential":
             # per-iteration programs (no fused loop for this mode); time
-            # a chained run of --seq-iters sweeps, ATE from a full-30 run
+            # a chained run of --seq-iters sweeps, ATE from a full-30 run.
+            # The first timed call must NOT reuse the warmup's exact input
+            # buffers (runtime memoization, CLAUDE.md) — nudge x first.
             _refine_jit(data, cur_map, x, cfg)  # compile
-            m, xx = cur_map, x
+            m, xx = cur_map, x + jnp.asarray(1e-30, x.dtype)
+            jax.block_until_ready(xx)
             t0 = time.perf_counter()
             for _ in range(args.seq_iters):
                 m, xx, _ = _refine_jit(data, m, xx, cfg)
@@ -93,26 +98,28 @@ def main():
             if gx is not None:
                 for _ in range(30 - args.seq_iters):
                     m, xx, _ = _refine_jit(data, m, xx, cfg)
-            x30 = np.asarray(xx)
+                x30 = np.asarray(xx)
         else:
             m_w, x_w, _, _ = _refine_loop_jit(data, cur_map, x, cfg,
                                               args.iters,
                                               with_metrics=False)
-            jax.block_until_ready(x_w)  # compile + warmup; x_w is the N=30
-            x30 = np.asarray(x_w)       # state for the ATE row
-            m, xx = m_w, x_w
-            ts = []
-            for _ in range(max(1, args.reps)):
-                x_in = xx + jnp.asarray(1e-30, xx.dtype)
-                jax.block_until_ready(x_in)
-                t0 = time.perf_counter()
-                m, xx, _, _ = _refine_loop_jit(data, m, x_in, cfg,
-                                               args.iters,
-                                               with_metrics=False)
-                jax.block_until_ready(xx)
-                ts.append(time.perf_counter() - t0)
-            ts.sort()
-            it_s = ts[len(ts) // 2] / args.iters
+            jax.block_until_ready(x_w)  # compile + warmup
+            if gx is not None:
+                if args.iters == 30:
+                    x30 = np.asarray(x_w)  # warmup state IS golden depth
+                else:
+                    # the reported key is ATE at EXACTLY 30 sweeps — any
+                    # other --iters gets a dedicated run (headline.py's
+                    # "the key never lies" contract)
+                    _, x30j, _, _ = _refine_loop_jit(data, cur_map, x,
+                                                     cfg, 30,
+                                                     with_metrics=False)
+                    x30 = np.asarray(x30j)
+            med_s, _, _ = timed_chained_median_s(
+                lambda mm, xs: _refine_loop_jit(
+                    data, mm, xs, cfg, args.iters, with_metrics=False)[:2],
+                m_w, x_w, args.reps)
+            it_s = med_s / args.iters
 
         row = {"ms_per_iter": round(it_s * 1e3, 2),
                "frames_per_s": round(ds.T / it_s, 0)}

@@ -47,6 +47,8 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
     if live_plot is True:
         from icm_slam_tpu.utils.viz import LivePlot
         live_plot = LivePlot()
+    elif live_plot is False:   # a natural "no plot" spelling — same as None
+        live_plot = None
     config = config or ICMConfig()
     logger = JsonlLogger(log_path) if (log_path or verbose) else None
 

@@ -304,25 +304,18 @@ def _bench_dataset(dataset: str, args, reps: int):
                                       with_metrics=False)
     jax.block_until_ready(x_w)
 
-    # chain every timed call on the previous call's OUTPUT (same-input
-    # repeats are memoized by the runtime and time ~0.03 ms — see
-    # CLAUDE.md); report the MEDIAN rep: single calls through the tunnel
-    # see ~10-30 ms dispatch hiccups that a median absorbs
-    m, xx = m_w, x_w
-    rep_s = []
-    for _ in range(reps):
-        # fresh device buffer even at a bitwise fixed point (subnormal
-        # flushes to zero on TPU; value-identical, defeats buffer
-        # memoization)
-        x_in = xx + jnp.asarray(1e-30, xx.dtype)
-        jax.block_until_ready(x_in)
-        t0 = time.perf_counter()
-        m, xx, _, _ = _refine_loop_jit(data, m, x_in, cfg, args.iters,
-                                       with_metrics=False)
-        jax.block_until_ready(xx)
-        rep_s.append(time.perf_counter() - t0)
-    rep_s.sort()
-    refine_s = rep_s[len(rep_s) // 2] / args.iters
+    # chained-median protocol (icm_slam_tpu.benchmarks.timing): every
+    # timed call consumes the previous call's output through a fresh
+    # buffer, median rep reported
+    from icm_slam_tpu.benchmarks.timing import timed_chained_median_s
+
+    def _step(m, x_in):
+        m2, x2, _, _ = _refine_loop_jit(data, m, x_in, cfg, args.iters,
+                                        with_metrics=False)
+        return m2, x2
+
+    med_s, _, _ = timed_chained_median_s(_step, m_w, x_w, reps)
+    refine_s = med_s / args.iters
 
     fps = T / refine_s
 
@@ -342,16 +335,10 @@ def _bench_dataset(dataset: str, args, reps: int):
 
         mb, xb, _, _ = fleet_loop(data_b, map_b, x_b)
         jax.block_until_ready(xb)
-        frs = []
-        for _ in range(max(1, reps)):
-            xb_in = xb + jnp.asarray(1e-30, xb.dtype)
-            jax.block_until_ready(xb_in)
-            t0 = time.perf_counter()
-            mb, xb, _, _ = fleet_loop(data_b, mb, xb_in)
-            jax.block_until_ready(xb)
-            frs.append(time.perf_counter() - t0)
-        frs.sort()
-        fleet_fps = W * T / (frs[len(frs) // 2] / args.iters)
+        from icm_slam_tpu.benchmarks.timing import timed_chained_median_s
+        med_s, _, _ = timed_chained_median_s(
+            lambda mm, xs: fleet_loop(data_b, mm, xs)[:2], mb, xb, reps)
+        fleet_fps = W * T / (med_s / args.iters)
 
     # quality self-check: the reported key is ATE at EXACTLY the golden
     # trace's N=30 sweeps past init.  When the timed loop already ran 30

@@ -233,7 +233,11 @@ def close_loops(data: SweepData, x, config, closures: Optional[LoopClosures]
             # applied — return the last applied set
             return x, (closures if last is None else last)
         noise = float(np.median(closures.rms))
-        gate = max(min_drift, drift_gate_rms * noise)
+        # min_drift <= 0 is the documented kill-switch: no gate at all
+        # (not even the noise-floor term — otherwise "disable" would
+        # silently keep gating on drift_gate_rms * noise)
+        gate = 0.0 if min_drift <= 0 else max(min_drift,
+                                              drift_gate_rms * noise)
         d_x, d_odo = estimate_correctable_drift(x, odo, closures)
         est_drift = max(d_x, odo_drift_frac * d_odo)
         # the guard protects a good INCOMING estimate (round 1 only):

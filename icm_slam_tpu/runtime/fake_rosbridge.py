@@ -108,12 +108,31 @@ class FakeRosBridgeServer:
                 self._handle(conn, json.loads(line))
             except (OSError, ValueError):
                 break
+        self._forget(conn)
+
+    def _forget(self, conn: _Conn):
+        """Remove every registration of a disconnected peer."""
         with self._lock:
             if conn in self._conns:
                 self._conns.remove(conn)
             for subs in self._subs.values():
                 if conn in subs:
                     subs.remove(conn)
+            for svc in [s for s, c in self._services.items() if c is conn]:
+                del self._services[svc]
+            for key in [k for k, c in self._pending.items() if c is conn]:
+                del self._pending[key]
+
+    def _safe_send(self, conn: _Conn, obj: dict) -> bool:
+        """Send to a peer; a dead peer is dropped, NOT propagated — one
+        closed subscriber must never tear down the sender's serve loop or
+        starve the remaining fan-out targets."""
+        try:
+            conn.send(obj)
+            return True
+        except OSError:
+            self._forget(conn)
+            return False
 
     def _handle(self, conn: _Conn, m: dict):
         op = m.get("op")
@@ -128,7 +147,7 @@ class FakeRosBridgeServer:
                 targets = list(self._subs.get(m["topic"], []))
             out = {"op": "publish", "topic": m["topic"], "msg": m["msg"]}
             for c in targets:
-                c.send(out)
+                self._safe_send(c, out)
         elif op == "advertise_service":
             with self._lock:
                 self._services[m["service"]] = conn
@@ -138,17 +157,21 @@ class FakeRosBridgeServer:
                 provider = self._services.get(m["service"])
                 if provider is not None:
                     self._pending[(m["service"], m.get("id"))] = conn
-            if provider is not None:
-                provider.send(m)
-            else:
-                conn.send({"op": "service_response", "service": m["service"],
-                           "id": m.get("id"), "result": False,
-                           "values": {"message": "service not advertised"}})
+            if provider is not None and self._safe_send(provider, m):
+                return
+            # no provider, or a provider whose socket is dead (stale
+            # registration): answer the caller instead of wedging it
+            with self._lock:
+                self._pending.pop((m["service"], m.get("id")), None)
+            self._safe_send(conn, {
+                "op": "service_response", "service": m["service"],
+                "id": m.get("id"), "result": False,
+                "values": {"message": "service not advertised"}})
         elif op == "service_response":
             with self._lock:
                 caller = self._pending.pop((m["service"], m.get("id")), None)
             if caller is not None:
-                caller.send(m)
+                self._safe_send(caller, m)
 
 
 # ---------------------------------------------------------------------------

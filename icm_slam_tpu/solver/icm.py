@@ -412,7 +412,13 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
             seg = min(callback_stride, n_iters - k)
             cur_map, x, wit, chg = _refine_loop_jit(data, cur_map, x,
                                                     config, seg)
-            witnesses.extend(list(np.asarray(wit)))
+            wit = list(np.asarray(wit))
+            # validate THIS segment before the observer persists anything:
+            # a table-overflow segment must raise here, not after the
+            # callback has already checkpointed silently-wrong state
+            for j, w in enumerate(wit):
+                check_witness(w, config, f"refinement sweep {k + j}")
+            witnesses.extend(wit)
             changes.extend(np.asarray(chg).tolist())
             k += seg
             callback(k - 1, cur_map, x)

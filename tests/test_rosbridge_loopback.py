@@ -13,6 +13,7 @@ exercised for real.  No network, no roscore, no roslibpy dependency.
 """
 import sys
 import threading
+import time
 
 import numpy as np
 import pytest
@@ -57,6 +58,20 @@ def test_transport_end_to_end_matches_offline(bridge, ijac):
     pub.start()
     pub.join(timeout=60)
     assert not pub.is_alive() and not pub_err, pub_err
+
+    # pub.join() only proves the publisher's sends completed — the server
+    # fans them out on the publisher-connection's serve thread, while the
+    # stop-service call below rides a DIFFERENT thread and could overtake
+    # in-flight frames (then frames() drains early and the count assert
+    # goes flaky).  Wait until every frame has reached the synchronizer.
+    deadline = time.monotonic() + 30
+    while time.monotonic() < deadline:
+        st = src.sync.stats
+        if st["laser_buffered"] >= T and st["odo_buffered"] >= T:
+            break
+        time.sleep(0.01)
+    else:
+        raise AssertionError(f"frames never fully arrived: {src.sync.stats}")
 
     # the reference's stop contract: the SetBool service flips the flag,
     # frames() then drains the buffer and returns (ICM_SLAM.py:285-299)

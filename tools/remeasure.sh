@@ -32,8 +32,11 @@ run() {  # run <label> <timeout_s> <cmd...>
     local label="$1" to="$2"; shift 2
     echo "== $label" >&2
     # bench deadman must fire BEFORE the outer timeout so a mid-run device
-    # stall still produces a structured JSON line (ADVICE r3)
-    ICM_BENCH_DEADMAN_S=$((to - 120)) \
+    # stall still produces a structured JSON line (ADVICE r3); floor at
+    # 120 s so a short-timeout job never gets a non-positive deadman
+    # (threading.Event.wait(<=0) returns immediately -> instant os._exit)
+    local dm=$((to - 120)); [ "$dm" -lt 120 ] && dm=120
+    ICM_BENCH_DEADMAN_S=$dm \
         timeout "$to" "$@" 2>/dev/null | tail -1 | tee -a "$OUT"
     gap
 }
