@@ -64,6 +64,23 @@ def test_resume_from_segment_boundary(world, tmp_path):
     assert "icm_ckpt_5.npz" in names
 
 
+def test_overflow_raises_before_checkpoint_persists(tmp_path):
+    """A table-overflow segment must raise BEFORE the observer writes its
+    checkpoint — otherwise a resume would silently continue from
+    known-wrong state (review finding, round 4)."""
+    # this world passes the init witness at L=256 but allocates ~560
+    # provisional labels in the first refinement sweep (drifting odometry
+    # re-observes landmarks outside dist_thr -> new-label churn)
+    ds = synthetic_world(T=600, n_landmarks=28, seed=0, odo_drift=2e-3)
+    cfg = ICMConfig(N=2, L=256, dtype="float32")
+    ckdir = tmp_path / "ck"
+    with pytest.raises(RuntimeError,
+                       match="table overflow in refinement sweep"):
+        run_offline(ds, cfg, checkpoint_dir=str(ckdir), checkpoint_every=2)
+    leaked = [f for f in os.listdir(ckdir) if f.startswith("icm_ckpt_")]
+    assert leaked == [], leaked
+
+
 def test_logger_keeps_per_iteration_rows(world, tmp_path):
     ds, cfg = world
     log = tmp_path / "m.jsonl"
