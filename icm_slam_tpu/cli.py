@@ -2,11 +2,14 @@
 
     python -m icm_slam_tpu run --dataset ijac2018 --config <yaml> [...]
     python -m icm_slam_tpu replay --dataset ijac2018 --hz 10 [...]
+    python -m icm_slam_tpu online --host localhost --port 9090 [...]
     python -m icm_slam_tpu bench [...]
 
 ``run`` is the offline pipeline (reference entry point C / __main__);
 ``replay`` feeds frames through the online engine at a fixed rate (reference
-entry points A+D: createbag.py publisher + online init).
+entry points A+D: createbag.py publisher + online init); ``online`` is the
+live workflow — capture from a real rosbridge, then refine (reference entry
+points A+B: ICM_ROS.py:280-316 / example.py; needs roslibpy).
 """
 from __future__ import annotations
 
@@ -68,28 +71,28 @@ def _add_common(ap):
                     help="write the trajectory in TUM format")
 
 
-def _build(args):
-    import jax
-    if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+def _config(args):
+    """ICMConfig from --config YAML (reference format) + flag overrides.
+
+    Tolerates commands that expose only a subset of the common flags
+    (the ``online`` command has no dataset/cap knobs)."""
     from icm_slam_tpu.config import ICMConfig
-    from icm_slam_tpu.data.datasets import load
 
     overrides = {}
-    if args.iters is not None:
+    if getattr(args, "iters", None) is not None:
         overrides["N"] = args.iters
-    if args.mode:
+    if getattr(args, "mode", None):
         overrides["sweep_mode"] = args.mode
-    if args.map_cap is not None:
+    if getattr(args, "map_cap", None) is not None:
         overrides["map_run_cap"] = args.map_cap
-    if args.checked_cap:
+    if getattr(args, "checked_cap", False):
         overrides["map_run_cap_checked"] = True
-    if args.pallas:
+    if getattr(args, "pallas", False):
         # opt-in only: measured neutral vs XLA's fused association at both
         # reference scale (62.5 vs 63.1 ms/iter) and 20k-frame stress scale
         # (243 vs 241 ms/iter) — see docs/RESULTS.md
         overrides.setdefault("use_pallas_assoc", True)
-    if args.pallas_fused:
+    if getattr(args, "pallas_fused", False):
         overrides.setdefault("use_pallas_fused_assoc", True)
     if getattr(args, "profile", None):
         p, g = {"fast": (1, 6), "default": (2, 8), "turbo": (1, 3)}[
@@ -98,8 +101,17 @@ def _build(args):
         overrides.setdefault("pose_gn_iters", g)
     if getattr(args, "jacobi", False):
         overrides.setdefault("pose_update", "jacobi")
-    cfg = (ICMConfig.from_yaml(args.config, **overrides) if args.config
-           else ICMConfig(**overrides))
+    return (ICMConfig.from_yaml(args.config, **overrides) if args.config
+            else ICMConfig(**overrides))
+
+
+def _build(args):
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    from icm_slam_tpu.data.datasets import load
+
+    cfg = _config(args)
     ds = load(args.dataset)
     if args.frames:
         ds = ds.slice(args.frames)
@@ -107,6 +119,7 @@ def _build(args):
 
 
 def _save(args, res, ds):
+    """``ds`` may be None (live ``online`` capture has no Dataset)."""
     import numpy as np
     if args.out:
         np.savez_compressed(args.out, x=res.x, x_init=res.x_init,
@@ -116,9 +129,11 @@ def _save(args, res, ds):
         import os
         from icm_slam_tpu.utils.viz import plot_convergence, plot_slam
         os.makedirs(args.plot, exist_ok=True)
-        plot_slam(res.x, res.map_pos, odom=ds.odom,
+        name = ds.name if ds is not None else "online"
+        plot_slam(res.x, res.map_pos,
+                  odom=ds.odom if ds is not None else None,
                   path=os.path.join(args.plot, "slam.png"),
-                  title=f"{ds.name}: trajectory + {res.map_pos.shape[0]} landmarks")
+                  title=f"{name}: trajectory + {res.map_pos.shape[0]} landmarks")
         plot_convergence(res.changes,
                          path=os.path.join(args.plot, "convergence.png"))
     if not args.quiet:
@@ -127,8 +142,9 @@ def _save(args, res, ds):
             "frames": int(res.x.shape[0]),
             "landmarks": int(res.map_pos.shape[0]),
             "timings": {k: round(v, 4) for k, v in res.timings.items()},
-            "ate_vs_odom": ate(res.x, ds.odom),
         }
+        if ds is not None:
+            summary["ate_vs_odom"] = ate(res.x, ds.odom)
         print(json.dumps(summary))
 
 
@@ -168,6 +184,38 @@ def cmd_replay(args):
     _save(args, res, ds)
 
 
+def cmd_online(args):
+    """The reference's primary live workflow (ICM_ROS.py:280-316 /
+    example.py): connect to a rosbridge, run the causal init over the
+    incoming frames for the capture window (``config.time``, or until the
+    /icm_slam/iterative_flag SetBool service fires and the buffer drains),
+    then refine offline and write the outputs."""
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    cfg = _config(args)
+    from icm_slam_tpu.api import run_online
+    from icm_slam_tpu.runtime.ingest import RosBridgeSource
+
+    src = RosBridgeSource(cfg, host=args.host, port=args.port)
+    src.connect()
+    try:
+        dur = args.duration if args.duration is not None else cfg.time
+        res = run_online(src.frames(duration=dur), cfg,
+                         refine=not args.no_refine, verbose=not args.quiet)
+    finally:
+        src.disconnect()
+    if args.export_map:
+        from icm_slam_tpu.utils.export import save_map_pgm
+        save_map_pgm(args.export_map, res.map_pos, trajectory=res.x)
+    if args.export_tum:
+        from icm_slam_tpu.utils.export import save_trajectory_tum
+        save_trajectory_tum(args.export_tum, res.x, deltat=cfg.deltat)
+    if not args.quiet:
+        print(json.dumps({"sync": src.sync.stats}))
+    _save(args, res, None)
+
+
 def cmd_bench(args):
     """Run the headline benchmark.
 
@@ -201,6 +249,33 @@ def main(argv=None):
                        help="replay rate (0 = as fast as possible)")
     p_rep.add_argument("--no-refine", action="store_true")
     p_rep.set_defaults(fn=cmd_replay)
+
+    p_on = sub.add_parser(
+        "online", help="live capture from a rosbridge, then refine "
+                       "(the reference's example.py workflow)")
+    p_on.add_argument("--host", default="localhost")
+    p_on.add_argument("--port", type=int, default=9090,
+                      help="rosbridge websocket port (reference default)")
+    p_on.add_argument("--duration", type=float, default=None,
+                      help="capture window seconds (default: config.time, "
+                           "275 s in config_ros.yaml); the SetBool "
+                           "service stops earlier, as in the reference")
+    p_on.add_argument("--no-refine", action="store_true",
+                      help="stop after the causal init (iteration 0)")
+    p_on.add_argument("--config", default=None,
+                      help="reference-format YAML")
+    p_on.add_argument("--iters", type=int, default=None, help="override N")
+    p_on.add_argument("--mode", default=None,
+                      choices=["sequential", "batched", "ba", "windowed_ba"])
+    p_on.add_argument("--profile", choices=["fast", "default", "turbo"],
+                      default=None)
+    p_on.add_argument("--cpu", action="store_true")
+    p_on.add_argument("--out", default=None, help="write result .npz here")
+    p_on.add_argument("--quiet", action="store_true")
+    p_on.add_argument("--plot", default=None, metavar="DIR")
+    p_on.add_argument("--export-map", default=None, metavar="PGM")
+    p_on.add_argument("--export-tum", default=None, metavar="TXT")
+    p_on.set_defaults(fn=cmd_online)
 
     p_b = sub.add_parser("bench", help="run the headline benchmark")
     p_b.add_argument("rest", nargs="*")

@@ -114,6 +114,48 @@ def test_transport_end_to_end_matches_offline(bridge, ijac):
     assert res.map_pos.shape == ref.map_pos.shape
 
 
+def test_cli_online_against_loopback(bridge, ijac, tmp_path):
+    """`icm-slam-tpu online` end-to-end: the reference's example.py
+    workflow (live capture -> service stop -> refine -> outputs) driven
+    through the CLI against the loopback bridge."""
+    from icm_slam_tpu import cli
+    from icm_slam_tpu.runtime.replay import publish_to_rosbridge
+
+    T = 80
+    ds = ijac.slice(T)
+    cfg = ICMConfig()          # default topics — the CLI uses the same
+    out = tmp_path / "online.npz"
+
+    def feeder():
+        time.sleep(1.0)        # let the CLI's source connect + subscribe
+        publish_to_rosbridge(ds, cfg, hz=10.0, speedup=100.0,
+                             host=bridge.host, port=bridge.port)
+        time.sleep(1.0)        # in-flight fan-out settles
+        lib = sys.modules["roslibpy"]
+        client = lib.Ros(host=bridge.host, port=bridge.port)
+        client.run()
+        lib.Service(client, "/icm_slam/iterative_flag",
+                    "std_srvs/SetBool").call({"data": True}, timeout=10)
+        client.terminate()
+
+    t = threading.Thread(target=feeder, daemon=True)
+    t.start()
+    cli.main(["online", "--cpu", "--iters", "1", "--duration", "45",
+              "--host", bridge.host, "--port", str(bridge.port),
+              "--out", str(out), "--quiet",
+              "--export-tum", str(tmp_path / "traj.txt")])
+    t.join(timeout=30)
+
+    import numpy as np
+    res = np.load(out)
+    # the stop flag may clip a few in-flight tail frames; the bulk must
+    # have made it through capture + init + refinement
+    assert res["x"].shape[0] >= T - 10, res["x"].shape
+    assert res["map_pos"].shape[0] >= 1
+    assert (tmp_path / "traj.txt").read_text().count("\n") == \
+        res["x"].shape[0]
+
+
 def test_service_call_roundtrip_without_provider(bridge):
     lib = sys.modules["roslibpy"]
     client = lib.Ros(host=bridge.host, port=bridge.port)
