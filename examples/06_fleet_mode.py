@@ -1,11 +1,12 @@
 """Fleet mode: N independent SLAM worlds in ONE device program.
 
-The roofline analysis (docs/RESULTS.md) shows a single reference-scale run
-leaves the chip ~97% idle — it is latency-bound on its sequential
-dependency chain, not bandwidth- or compute-bound.  ``run_batched`` fills
-that headroom with parallel worlds: multi-robot mapping, Monte-Carlo noise
-studies, or parameter ensembles, all sharing one compiled pipeline
-(init sweep -> map filter -> fused N-iteration refinement loop).
+The measured scaling curve (benchmarks/fleet_curve.py, round-4 on-chip)
+peaks at W=8 worlds: 1.74-1.82x the single-world aggregate throughput —
+over 1M frames/s at the turbo profile — i.e. 8 worlds finish in ~4.4x
+the latency of one.  ``run_batched`` is the amortization tool for
+multi-robot mapping, Monte-Carlo noise studies, and parameter ensembles,
+all sharing one compiled pipeline (init sweep -> map filter -> fused
+N-iteration refinement loop).
 
 Run: python examples/06_fleet_mode.py
 """
