@@ -51,7 +51,16 @@ def run_offline(dataset, config: Optional[ICMConfig] = None,
         live_plot = None
     config = config or ICMConfig()
     logger = JsonlLogger(log_path) if (log_path or verbose) else None
+    try:
+        return _run_offline(dataset, config, checkpoint_dir, resume,
+                            logger, verbose, live_plot, checkpoint_every)
+    finally:
+        if logger:       # append-mode file handle — don't leak one per run
+            logger.close()
 
+
+def _run_offline(dataset, config, checkpoint_dir, resume, logger, verbose,
+                 live_plot, checkpoint_every) -> ICMResult:
     start_iter = 0
     if resume and checkpoint_dir:
         path = ckpt.latest(checkpoint_dir)

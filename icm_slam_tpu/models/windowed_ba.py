@@ -41,7 +41,8 @@ def _chain_residuals(xa, xb, u_a, odo_a, odo_b, w):
 
 
 def _window_residuals(p, x_prev_fix, x_next_fix, dist, ang, mask, matched,
-                      u_in, odo_in, odo_prev, u_last, odo_next, frame_ok, w):
+                      u_in, odo_in, odo_prev, u_last, odo_next, frame_ok,
+                      next_ok, w):
     """All residuals owned by one window.
 
     p: (W, 3) free poses; x_prev_fix: (3,) pose before the window (frozen);
@@ -49,7 +50,12 @@ def _window_residuals(p, x_prev_fix, x_next_fix, dist, ang, mask, matched,
     compacted observations; u_in/odo_in: (W,...) control/odometry AT window
     frames; odo_prev: (3,) odometry of the frame before; u_last/odo_next:
     the edge to the pose after the window; frame_ok: (W,) validity (frames
-    past the real trajectory end contribute nothing).
+    past the real trajectory end contribute nothing); next_ok: scalar bool
+    — whether a REAL frame exists after the window.  When the window ends
+    exactly at the trajectory's last frame, x_next_fix clamps to that same
+    frame's stale value and the forward edge would become a self-edge
+    biasing the final pose — next_ok masks it, giving the last pose the
+    reference's one-sided treatment (ICM_ROS.py:153-156).
     """
     sqrt_q = w[1]
     W = p.shape[0]
@@ -67,7 +73,7 @@ def _window_residuals(p, x_prev_fix, x_next_fix, dist, ang, mask, matched,
     u_e = jnp.concatenate([u_in, u_last[None]], axis=0)         # (W+1, 2)
     odo_a = jnp.concatenate([odo_prev[None], odo_in], axis=0)
     odo_b = jnp.concatenate([odo_in, odo_next[None]], axis=0)
-    edge_ok = jnp.concatenate([frame_ok, frame_ok[-1:]])
+    edge_ok = jnp.concatenate([frame_ok, (frame_ok[-1] & next_ok)[None]])
     r_chain = jax.vmap(_chain_residuals, in_axes=(0, 0, 0, 0, 0, None))(
         xs_a, xs_b, u_e, odo_a, odo_b, w)
     r_chain = jnp.where(edge_ok[:, None], r_chain, 0.0)
@@ -95,7 +101,8 @@ def _solve_windows(data: SweepData, obs, x, offset, W, last_t, config, w):
                 matched_c[idx_c], data.u[idx_c],
                 data.odom[idx_c], data.odom[jnp.maximum(s - 1, 0)],
                 data.u[jnp.minimum(s + W - 1, T - 1)],
-                data.odom[jnp.minimum(s + W, T - 1)], ok)
+                data.odom[jnp.minimum(s + W, T - 1)], ok,
+                (s + W) <= last_t)
 
         def resid(flat):
             return _window_residuals(flat.reshape(W, 3), *args, w)

@@ -53,10 +53,16 @@ def parse_laser_scan(msg: dict, max_range: float, radio: float,
         inc = float(msg["angle_increment"])
         s0 = int((-math.pi / 2 - angle_min) / inc)
         step = max(1, round((math.pi / 180.0) / inc))
-        z = z[s0:s0 + step * n_beams:step]
-        if z.shape[0] < n_beams:
-            z = np.pad(z, (0, n_beams - z.shape[0]),
-                       constant_values=max_range)
+        # gather by index, not by slice: a scan whose field of view starts
+        # after -pi/2 gives s0 < 0, and a negative Python slice start would
+        # silently wrap to the END of the array (beams from the wrong side
+        # presented as the left sector).  Sectors the scan doesn't cover
+        # pad with max_range on BOTH sides.
+        idx = s0 + step * np.arange(n_beams)
+        out = np.full(n_beams, max_range, dtype=z.dtype)
+        ok = (idx >= 0) & (idx < z.shape[0])
+        out[ok] = z[idx[ok]]
+        z = out
     return z
 
 

@@ -142,6 +142,11 @@ class OnlineSLAM:
             check_table_overflow(int(self._state.nact), self.config.L,
                                  "online init")
 
+        if not self._poses:
+            raise RuntimeError(
+                "online session captured no frames: nothing was pushed "
+                "before finish() (no publisher, or every frame was "
+                "dropped by the synchronizer — check its desync stats)")
         x_init = np.concatenate(self._poses, axis=0)
         fm = filter_map(self._state, self.config.cota, self.config.dist_thr)
         if not refine:
@@ -152,14 +157,24 @@ class OnlineSLAM:
                 changes=np.zeros((0, 3)), timings={})
 
         from icm_slam_tpu.solver.icm import (_refine_jit, _refine_loop_jit,
-                                             check_witness, map_change,
-                                             prepare, resolve_config)
+                                             check_witness, kept_count,
+                                             map_change, prepare,
+                                             resolve_config)
         ds = Dataset(np.asarray(self._scans), np.asarray(self._odom),
                      np.asarray(self._u), x_init[0], name="online")
         config = self.config
         n_iters = config.N if n_iters is None else n_iters
         data = prepare(ds, config)
         config = resolve_config(config, data)
+        # the same init-map witness run() anchors its chain with: under a
+        # map_run_cap (esp. map_run_cap_checked), an over-cap STREAMED init
+        # map would feed the cap-sliced refinement paths silently-truncated
+        # associations — exact-or-error demands the check here too
+        if self._state is not None:
+            check_witness(
+                jnp.stack([jnp.asarray(int(self._state.nact), jnp.int32),
+                           kept_count(self._state, config.cota)]),
+                config, "online init")
         x = jnp.asarray(x_init, data.dist.dtype)
         cur_map = jax.tree.map(lambda a: jnp.asarray(a), fm)
         t0 = _time.perf_counter()

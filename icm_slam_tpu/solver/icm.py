@@ -74,17 +74,22 @@ def resolve_config(config: ICMConfig, data) -> ICMConfig:
       survive filtering), so the cap is disabled whenever that bound
       reaches it.
     """
-    if config.sweep_mode in ("batched", "windowed_ba", "ba"):
-        from icm_slam_tpu.solver.sweeps import auto_obs_cap
+    from icm_slam_tpu.solver.sweeps import auto_obs_cap
+    if config.obs_cap:
+        # a user-supplied cap is validated in EVERY mode: beam compaction
+        # also runs in the init sweeps (sequential and batched), so a
+        # sequential-mode config with a small obs_cap would otherwise
+        # silently drop real observations there
         cap_needed = auto_obs_cap(data.mask)
-        if config.obs_cap == 0:
-            config = dataclasses.replace(config, obs_cap=cap_needed)
-        elif config.obs_cap < cap_needed:
+        if config.obs_cap < cap_needed:
             raise ValueError(
                 f"obs_cap={config.obs_cap} is below this dataset's max "
                 f"per-frame valid-beam count ({cap_needed}); beam "
                 f"compaction would silently drop real observations. "
                 f"Use obs_cap=0 (auto) or >= {cap_needed}.")
+    elif config.sweep_mode in ("batched", "windowed_ba", "ba"):
+        config = dataclasses.replace(config,
+                                     obs_cap=auto_obs_cap(data.mask))
     if config.map_run_cap and config.map_run_cap_checked:
         # user vouches for the cap; runtime witnesses verify it (the kept-
         # landmark count of every sweep is checked in check_witness) — keep
@@ -434,6 +439,11 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
                                       live_cap=config.map_run_cap))
             witnesses.append(witness)
             if callback is not None:
+                # same ordering contract as the segmented path: a bad
+                # sweep must raise BEFORE the observer persists anything
+                # (the callback already host-syncs, so this costs nothing)
+                check_witness(np.asarray(witness), config,
+                              f"refinement sweep {k}")
                 callback(k, cur_map, x)
             if verbose:
                 corr = float(jnp.sum(jnp.linalg.norm(x - x_init, axis=1)))

@@ -103,6 +103,41 @@ def test_windowed_ba_mode(ijac):
     assert r_icm.map_pos.shape == r_win.map_pos.shape
 
 
+def test_windowed_forward_edge_masked_at_trajectory_end():
+    """A window ending exactly at the last real frame must give that pose
+    the one-sided treatment: with no real frame after the window, the
+    forward chain edge (whose frozen 'next' pose clamps to the window's
+    OWN stale last pose — a self-edge) must contribute zero residuals
+    (review finding, round 4)."""
+    from icm_slam_tpu.models.windowed_ba import _window_residuals
+
+    rng = np.random.default_rng(0)
+    W, K = 4, 3
+    f32 = jnp.float32
+    p = jnp.asarray(rng.normal(size=(W, 3)), f32)
+    x_prev = jnp.asarray(rng.normal(size=3), f32)
+    x_next = p[-1] + f32(0.5)     # the stale-clamp case
+    zeros = jnp.zeros((W, K), f32)
+    args = (zeros, zeros, jnp.zeros((W, K), bool),
+            jnp.zeros((W, K, 2), f32),
+            jnp.asarray(rng.normal(size=(W, 2)), f32),
+            jnp.asarray(rng.normal(size=(W, 3)), f32),
+            jnp.asarray(rng.normal(size=3), f32),
+            jnp.asarray(rng.normal(size=2), f32),
+            jnp.asarray(rng.normal(size=3), f32),
+            jnp.ones((W,), bool))
+    w = weights(ICMConfig(dtype="float32"))
+    r_on = _window_residuals(p, x_prev, x_next, *args,
+                             jnp.asarray(True), w)
+    r_off = _window_residuals(p, x_prev, x_next, *args,
+                              jnp.asarray(False), w)
+    # the forward edge owns the final 6 residual slots
+    assert np.any(np.asarray(r_on[-6:]) != 0.0)
+    assert np.all(np.asarray(r_off[-6:]) == 0.0)
+    np.testing.assert_array_equal(np.asarray(r_on[:-6]),
+                                  np.asarray(r_off[:-6]))
+
+
 def test_windowed_ba_reduces_global_energy(ijac):
     import jax.numpy as jnp
     from icm_slam_tpu.models.bundle_adjustment import BAProblem, energy

@@ -314,3 +314,16 @@ def test_degenerate_world_run_keeps_finite_metrics():
     res = run(ds, cfg)
     assert res.map_pos.shape[0] == 0
     assert np.all(np.isfinite(np.asarray(res.changes)))
+
+
+def test_obs_cap_validated_in_every_mode(ijac):
+    """Beam compaction also runs in the init sweeps, so a too-small user
+    obs_cap must raise even when sweep_mode is sequential (round-4 review:
+    the guard used to be keyed on the batched sweep modes only)."""
+    from icm_slam_tpu.solver.icm import prepare, resolve_config
+    ds = ijac.slice(50)
+    cfg = ICMConfig(N=1, L=64, sweep_mode="sequential", obs_cap=2,
+                    dtype="float32")
+    data = prepare(ds, cfg)
+    with pytest.raises(ValueError, match="obs_cap"):
+        resolve_config(cfg, data)

@@ -79,3 +79,16 @@ def test_synchronizer_gap_dropped():
     ks = [int(p[0]) for _, p, _ in frames]
     assert 11 not in ks  # fully missing frames are dropped, stream continues
     assert any(k > 13 for k in ks)
+
+
+def test_parse_laser_scan_pads_uncovered_left_sector():
+    """A scan whose field of view starts AFTER -pi/2 (angle_min > -pi/2)
+    must left-pad the uncovered sector with max_range — the old slice
+    arithmetic produced a negative start that silently wrapped to the END
+    of the ranges array (round-4 review)."""
+    msg = _laser_msg([5.0] * 90, angle_min=0.0)
+    z = parse_laser_scan(msg, max_range=10.0, radio=0.0)
+    assert z.shape == (181,)
+    np.testing.assert_array_equal(z[:90], 10.0)   # uncovered left sector
+    np.testing.assert_array_equal(z[90:180], 5.0)  # the real 90 beams
+    assert z[180] == 10.0                          # one beam past the FoV

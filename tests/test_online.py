@@ -80,3 +80,11 @@ def test_online_empty_first_frame():
         eng.push(*frame)
     res = eng.finish(refine=False)
     assert np.isfinite(res.x_init).all()
+
+
+def test_finish_without_frames_raises_clearly():
+    """An empty capture session must fail loudly, not with an obscure
+    np.concatenate traceback (round-4 review)."""
+    eng = OnlineSLAM(ICMConfig(N=1, L=64, dtype="float32"))
+    with pytest.raises(RuntimeError, match="captured no frames"):
+        eng.finish()
