@@ -524,15 +524,15 @@ def run_batched(datasets, config: ICMConfig,
                 n_iters: Optional[int] = None) -> list:
     """Run the full pipeline on W same-shape worlds as ONE device program.
 
-    The roofline analysis (benchmarks/roofline.py, docs/RESULTS.md) shows a
-    single reference-scale run is latency-bound at ~2.5% of HBM bandwidth:
-    the chip idles through the sweep's sequential dependency chain.  Extra
-    *parallel* work per step is nearly free — this entry point supplies it
-    by vmapping the whole pipeline (init sweep, map filter, fused
-    N-iteration refinement loop) over a fleet of trajectories: multi-robot
-    mapping, Monte-Carlo noise studies, or parameter ensembles over
-    replicated data.  Per-world results match `run()` to f32 op-reordering
-    noise (gated by tests/test_fleet.py).
+    The measured scaling curve (benchmarks/fleet_curve.py, round-4 on-chip)
+    knees at W=8: 1.74-1.82x the single-world aggregate rate — over 1M
+    frames/s at the turbo profile — i.e. W worlds for well under W times
+    the latency of one.  This entry point is the amortization tool:
+    it vmaps the whole pipeline (init sweep, map filter, fused N-iteration
+    refinement loop) over a fleet of trajectories — multi-robot mapping,
+    Monte-Carlo noise studies, parameter ensembles over replicated data.
+    Per-world results match `run()` to f32 op-reordering noise (gated by
+    tests/test_fleet.py).
 
     Requirements: every dataset has identical (T, n_beams) shapes and one
     shared config (the reference semantics per world are unchanged — worlds

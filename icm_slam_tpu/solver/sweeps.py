@@ -941,9 +941,11 @@ def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,
     if config.pose_update == "jacobi":
         # one full Jacobi pass per pose_pass: every pose solved against the
         # PREVIOUS pass's neighbours — half the sequential LM depth of a
-        # red-black pair (the sweep is latency-bound, docs/RESULTS.md
-        # roofline).  Different fixed-point path than Gauss-Seidel
-        # red-black; opt-in, quality-gated like every profile knob.
+        # red-black pair, but each step solves all T poses where a
+        # half-pass solves T/2, and the round-4 on-chip A/B measured that
+        # trade a net LOSS (418.6k vs red-black's 472.5k f/s at gn=6 —
+        # docs/RESULTS.md).  Kept as an opt-in fixed-point variant
+        # (0/10 OOD fuzz divergences), not a speed knob.
         for _ in range(config.pose_passes):
             x = solve_at(x, jnp.arange(1, T))
     else:
