@@ -23,6 +23,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 TIME_AXIS = "t"
+FLEET_AXIS = "w"
 
 
 def make_mesh(devices=None, n_devices=None) -> Mesh:
@@ -38,6 +39,33 @@ def make_mesh(devices=None, n_devices=None) -> Mesh:
     if n_devices is not None:
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (TIME_AXIS,))
+
+
+def make_fleet_mesh(devices=None, n_devices=None) -> Mesh:
+    """1-D mesh over the FLEET (world) axis — data parallelism for
+    run_batched: worlds never exchange information, so sharding the vmapped
+    world axis partitions the whole pipeline with ZERO collectives (each
+    device runs its worlds' init + refine loop end-to-end locally).
+    Orthogonal to make_mesh's time sharding (the SP analog)."""
+    if devices is None:
+        devices = jax.devices()
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (FLEET_AXIS,))
+
+
+def fleet_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (world) sharding on a fleet mesh."""
+    return NamedSharding(mesh, P(FLEET_AXIS))
+
+
+def put_fleet_sharded(mesh: Mesh, tree):
+    """Place a stacked (W, ...) pytree on the mesh, worlds sharded across
+    devices (leading axis); W must be divisible by the mesh size (callers
+    pad by replicating a world — see solver.icm.run_batched)."""
+    fs = fleet_sharding(mesh)
+    return jax.tree.map(lambda a: jax.device_put(a, fs), tree)
 
 
 def time_sharding(mesh: Mesh) -> NamedSharding:

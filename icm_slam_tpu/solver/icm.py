@@ -521,7 +521,7 @@ def _pipeline_batched_jit(datas, seeds, x0s, config, n_iters):
 
 
 def run_batched(datasets, config: ICMConfig,
-                n_iters: Optional[int] = None) -> list:
+                n_iters: Optional[int] = None, mesh=None) -> list:
     """Run the full pipeline on W same-shape worlds as ONE device program.
 
     The measured scaling curve (benchmarks/fleet_curve.py, round-4 on-chip)
@@ -533,6 +533,15 @@ def run_batched(datasets, config: ICMConfig,
     Monte-Carlo noise studies, parameter ensembles over replicated data.
     Per-world results match `run()` to f32 op-reordering noise (gated by
     tests/test_fleet.py).
+
+    ``mesh``: an optional 1-D fleet mesh (parallel.mesh.make_fleet_mesh) —
+    worlds are sharded across its devices (data parallelism).  Worlds never
+    exchange information, so the partitioned program needs ZERO collectives:
+    each device runs its W/n worlds end-to-end locally, and single-chip
+    fleet scaling (the W=8 knee) multiplies by the device count.  W is
+    padded up to a mesh-size multiple by replicating the last world (the
+    padded lanes' results are discarded).  Per-world results are gated
+    against the unsharded program by tests/test_fleet_sharded.py.
 
     Requirements: every dataset has identical (T, n_beams) shapes and one
     shared config (the reference semantics per world are unchanged — worlds
@@ -552,6 +561,18 @@ def run_batched(datasets, config: ICMConfig,
     stack = lambda leaves: jax.tree.map(lambda *ls: jnp.stack(ls), *leaves)
     datas_b, seeds_b = stack(datas), stack(seeds)
     x0s_b = jnp.stack(x0s)
+    if mesh is not None:
+        from icm_slam_tpu.parallel.mesh import put_fleet_sharded
+        n_dev = mesh.devices.size
+        pad = (-len(datasets)) % n_dev
+        if pad:
+            rep = lambda a: jnp.concatenate(
+                [a, jnp.broadcast_to(a[-1:], (pad,) + a.shape[1:])])
+            datas_b = jax.tree.map(rep, datas_b)
+            seeds_b = jax.tree.map(rep, seeds_b)
+            x0s_b = rep(x0s_b)
+        datas_b, seeds_b, x0s_b = put_fleet_sharded(
+            mesh, (datas_b, seeds_b, x0s_b))
     jax.block_until_ready(seeds_b)
     timings["prepare_s"] = time.perf_counter() - t0
 
