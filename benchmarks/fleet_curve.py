@@ -32,7 +32,8 @@ def main():
                     help="timed chained reps per W; median reported")
     ap.add_argument("--dataset", default="ijac2018")
     ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--profile", choices=["fast", "default", "turbo"],
+    ap.add_argument("--profile",
+                    choices=["fast", "default", "turbo", "ultra", "max"],
                     default="fast")
     args = ap.parse_args()
 
@@ -52,8 +53,9 @@ def main():
                                          _refine_loop_jit, prepare,
                                          resolve_config, seed_map)
 
-    passes, gn_iters = {"default": (2, 8), "turbo": (1, 3)}[args.profile] \
-        if args.profile != "fast" else (1, 6)
+    passes, gn_iters = {"default": (2, 8), "turbo": (1, 3),
+                        "ultra": (1, 2), "max": (1, 1),
+                        "fast": (1, 6)}[args.profile]
     cfg = ICMConfig(N=args.iters, L=1024, dtype="float32",
                     pose_passes=passes, pose_gn_iters=gn_iters)
     ds = load(args.dataset)

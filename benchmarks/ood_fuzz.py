@@ -41,8 +41,16 @@ def main():
     ap.add_argument("--ate-tol", type=float, default=0.02,
                     help="|ATE_cand - ATE_default| above this (meters) "
                          "counts as an ATE divergence even at equal census")
+    ap.add_argument("--baseline", default="{}",
+                    help="JSON dict of ICMConfig overrides for the BASELINE "
+                         "side (default: the engine default config).  Use "
+                         "to fuzz a candidate against an already-shipped "
+                         "profile, e.g. a deeper-turbo knob against turbo: "
+                         "--baseline '{\"pose_passes\":1,"
+                         "\"pose_gn_iters\":3}'")
     args = ap.parse_args()
     overrides = json.loads(args.overrides)
+    baseline = json.loads(args.baseline)
 
     import jax
     jax.config.update("jax_platforms", "cpu")
@@ -54,11 +62,12 @@ def main():
 
     # L=1024: the hard worlds allocate hundreds of provisional labels per
     # sweep before the cota prune (an L=256 table overflows the witness)
-    base = ICMConfig(N=args.iters, L=1024, dtype="float32")
+    base = ICMConfig(N=args.iters, L=1024, dtype="float32", **baseline)
     cand = ICMConfig(N=args.iters, L=1024, dtype="float32", **overrides)
 
     rows = []
     out = {"metric": "ood_fuzz", "overrides": overrides,
+           "baseline": baseline,
            "worlds": args.worlds, "iters": args.iters, "rows": rows}
     census_div = ate_div = 0
     for seed in range(args.worlds):

@@ -9,14 +9,19 @@ frames/s per ICM iteration on one CPU core.  vs_baseline = ours / 127.
 
 Runs the production configuration (float32, batched red-black sweep,
 L=1024) on the full 1833-frame dataset; compile time excluded by warmup.
-Default knobs = the TURBO profile (1 red-black pair, 3 LM iterations) —
-the fastest profile whose driver-captured ATE stays under the 0.1 m gate
-on BOTH datasets at N=30 (round-4 capture: 635.8k frames/s, ATE 0.037
-ijac2018 / 0.053 palomar, census 11/11).  --profile fast (1 pass, 6 LM:
-472.5k f/s, ATE 0.033/0.035) keeps a wider quality margin; --passes 2
+Default knobs = the MAX profile (1 red-black pair, 1 LM iteration) — the
+fastest profile whose on-chip ATE stays under the 0.1 m gate on BOTH
+datasets at N=30 (late-round-4 frontier sweep: 818k/826k frames/s, ATE
+0.0449 ijac2018 / 0.0421 palomar, census 11/11; the same both-datasets-
+green policy that made turbo the round-4 default).  --profile turbo
+(1 pass, 3 LM: 635.8k f/s driver-captured, ATE 0.037/0.053) and fast
+(1 pass, 6 LM: 472.5k, ATE 0.033/0.035) keep wider margins; --passes 2
 --gn-iters 8 is the conservative engine default (256k f/s, ATE
-0.012/0.017).  The JSON line self-reports the benchmarked trajectory's
-ATE vs the golden trace, so the quality claim rides every capture.
+0.012/0.017).  The gn-depth presets reach different ICM fixed points on
+hard OOD worlds — true of EVERY profile step including turbo-vs-fast
+(benchmarks/ood_fuzz.py --baseline; docs/RESULTS.md) — so the real-
+dataset ATE gate, self-reported in the JSON line on every capture, is
+the operative quality contract.
 
 This module is the single source of truth; ``bench.py`` at the repo root
 (the driver's entry point) and ``icm-slam-tpu bench`` (installed package)
@@ -124,11 +129,13 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--verbose", action="store_true")
-    ap.add_argument("--profile", choices=["fast", "default", "turbo"],
+    ap.add_argument("--profile",
+                    choices=["fast", "default", "turbo", "ultra", "max"],
                     default=None,
-                    help="validated knob preset: turbo = --passes 1 "
-                         "--gn-iters 3 (the bench default; ATE "
-                         "0.037-0.053), fast = --passes 1 --gn-iters 6 "
+                    help="validated knob preset: max = --passes 1 "
+                         "--gn-iters 1 (the bench default; ATE "
+                         "0.042-0.045), ultra = 1 x 2 (ATE 0.036-0.040), "
+                         "turbo = 1 x 3 (ATE 0.037-0.053), fast = 1 x 6 "
                          "(ATE 0.033-0.035), default = --passes 2 "
                          "--gn-iters 8 (ATE 0.012-0.017); explicit "
                          "--passes/--gn-iters win")
@@ -263,10 +270,12 @@ def _bench_dataset(dataset: str, args, reps: int):
     if args.frames:
         ds = ds.slice(args.frames)
     T = ds.T
-    # no --profile -> turbo, the fastest driver-validated-green profile
-    # (round-4 on-chip A/B; ATE self-reported below keeps it honest)
-    preset_p, preset_g = {"default": (2, 8), "fast": (1, 6)}.get(
-        args.profile, (1, 3))
+    # no --profile -> max, the fastest both-datasets-green profile
+    # (late-round-4 on-chip frontier sweep; ATE self-reported below keeps
+    # every capture honest)
+    preset_p, preset_g = {"default": (2, 8), "fast": (1, 6),
+                          "turbo": (1, 3), "ultra": (1, 2)}.get(
+        args.profile, (1, 1))
     passes = preset_p if args.passes is None else args.passes
     gn_iters = preset_g if args.gn_iters is None else args.gn_iters
     on_tpu = jax.devices()[0].platform != "cpu"

@@ -35,12 +35,18 @@ def _add_common(ap):
     ap.add_argument("--quiet", action="store_true")
     ap.add_argument("--plot", default=None, metavar="DIR",
                     help="save trajectory/convergence PNGs to DIR")
-    ap.add_argument("--profile", choices=["fast", "default", "turbo"],
+    ap.add_argument("--profile",
+                    choices=["fast", "default", "turbo", "ultra", "max"],
                     default=None,
                     help="validated knob preset: fast = 1 pass x 6 LM "
                          "iters (ATE 0.037), default = 2 x 8 (ATE 0.016), "
                          "turbo = 1 x 3 (ATE 0.037-0.053; full-depth "
-                         "matrix green, docs/RESULTS.md)")
+                         "matrix green, docs/RESULTS.md); ultra = 1 x 2 "
+                         "and max = 1 x 1 — green on both reference "
+                         "datasets (ATE 0.036-0.045) but they reach "
+                         "DIFFERENT ICM fixed points on hard OOD worlds "
+                         "(benchmarks/ood_fuzz.py; docs/RESULTS.md) — "
+                         "per-deployment dials, not defaults")
     ap.add_argument("--jacobi", action="store_true",
                     help="pose_update=jacobi: full Jacobi passes instead "
                          "of red-black half-pass pairs (half the "
@@ -95,8 +101,8 @@ def _config(args):
     if getattr(args, "pallas_fused", False):
         overrides.setdefault("use_pallas_fused_assoc", True)
     if getattr(args, "profile", None):
-        p, g = {"fast": (1, 6), "default": (2, 8), "turbo": (1, 3)}[
-            args.profile]
+        p, g = {"fast": (1, 6), "default": (2, 8), "turbo": (1, 3),
+                "ultra": (1, 2), "max": (1, 1)}[args.profile]
         overrides.setdefault("pose_passes", p)
         overrides.setdefault("pose_gn_iters", g)
     if getattr(args, "jacobi", False):
@@ -267,7 +273,8 @@ def main(argv=None):
     p_on.add_argument("--iters", type=int, default=None, help="override N")
     p_on.add_argument("--mode", default=None,
                       choices=["sequential", "batched", "ba", "windowed_ba"])
-    p_on.add_argument("--profile", choices=["fast", "default", "turbo"],
+    p_on.add_argument("--profile",
+                      choices=["fast", "default", "turbo", "ultra", "max"],
                       default=None)
     p_on.add_argument("--cpu", action="store_true")
     p_on.add_argument("--out", default=None, help="write result .npz here")

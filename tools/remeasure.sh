@@ -41,10 +41,12 @@ run() {  # run <label> <timeout_s> <cmd...>
     gap
 }
 
-run bench_fast          600 python bench.py
+run bench_max           600 python bench.py
 run bench_default       600 python bench.py --passes 2 --gn-iters 8
-run bench_palomar_fast  600 python bench.py --dataset palomar
+run bench_palomar_max   600 python bench.py --dataset palomar
 run bench_palomar_def   600 python bench.py --dataset palomar --passes 2 --gn-iters 8
+run bench_ultra_1p2g    600 python bench.py --profile ultra --no-palomar
+run bench_fast_1p6g     600 python bench.py --profile fast --no-palomar
 run attribution         1200 python benchmarks/attribution.py
 run stress              900 python benchmarks/stress_long.py
 run bench_fused_ab      600 python bench.py --pallas-fused
@@ -52,6 +54,7 @@ run bench_fused_ab      600 python bench.py --pallas-fused
 # and the quality-validated turbo profile (1 pass x 3 LM iters: full-depth
 # matrix green at ATE 0.037/0.053 — docs/RESULTS.md)
 run fleet_curve         1800 python benchmarks/fleet_curve.py
+run fleet_curve_max     1200 python benchmarks/fleet_curve.py --profile max --ws 1,4,8,16,32
 run bench_turbo_1p3g    600 python bench.py --gn-iters 3
 run bench_jacobi        600 python bench.py --jacobi --no-palomar
 run bench_jacobi_turbo  600 python bench.py --jacobi --gn-iters 3 --no-palomar
