@@ -98,7 +98,9 @@ def stage_table(T, B, K, L, G, P):
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--dataset", default="ijac2018")
-    ap.add_argument("--profile", choices=["fast", "default"], default="fast")
+    ap.add_argument("--profile",
+                    choices=["fast", "default", "turbo", "ultra", "max"],
+                    default="fast")
     ap.add_argument("--stress", type=int, default=0,
                     help="synthetic stress world with this many frames "
                          "instead of the reference dataset")
@@ -131,7 +133,8 @@ def main(argv=None):
                              world_size=240.0, seed=0)
     else:
         ds = load(args.dataset)
-    p, g = (2, 8) if args.profile == "default" else (1, 6)
+    p, g = {"fast": (1, 6), "default": (2, 8), "turbo": (1, 3),
+            "ultra": (1, 2), "max": (1, 1)}[args.profile]
     cfg = ICMConfig(N=args.iters, L=1024, dtype="float32",
                     pose_passes=p, pose_gn_iters=g)
     data = prepare(ds, cfg)

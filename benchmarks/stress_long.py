@@ -20,6 +20,11 @@ def main():
     ap.add_argument("--pallas", choices=["auto", "on", "off"], default="auto",
                     help="force the Pallas association kernel on/off "
                          "(the VERDICT #7 A/B at stress scale)")
+    ap.add_argument("--profile",
+                    choices=["fast", "default", "turbo", "ultra", "max"],
+                    default="default",
+                    help="refine knob preset (the historical stress metric "
+                         "is the conservative default profile)")
     ap.add_argument("--cap", type=int, default=128,
                     help="map_run_cap in CHECKED mode (runtime-witnessed, "
                          "exact-or-error: an undersized cap raises instead "
@@ -52,8 +57,11 @@ def main():
     # but the world only holds ~300 landmarks: CHECKED cap mode keeps the
     # fast cap-sliced association/filter paths and every sweep's witness
     # verifies the survivor count stayed under it (exact-or-error)
+    p, g = {"fast": (1, 6), "default": (2, 8), "turbo": (1, 3),
+            "ultra": (1, 2), "max": (1, 1)}[args.profile]
     cfg = ICMConfig(N=args.iters, L=1024, cota=50.0, dtype="float32",
                     use_pallas_assoc=use_pallas,
+                    pose_passes=p, pose_gn_iters=g,
                     map_run_cap=args.cap,
                     map_run_cap_checked=args.cap > 0)
     data = prepare(ds, cfg)
@@ -87,6 +95,7 @@ def main():
 
     print(json.dumps({
         "frames": args.frames, "pallas": use_pallas,
+        "profile": args.profile,
         "landmarks_world": args.landmarks,
         "landmarks_mapped": int(m.nact),
         "gen_s": round(gen_s, 1), "init_s": round(init_s, 2),
