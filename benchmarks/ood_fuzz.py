@@ -61,9 +61,13 @@ def main():
     from icm_slam_tpu.solver.icm import run
 
     # L=1024: the hard worlds allocate hundreds of provisional labels per
-    # sweep before the cota prune (an L=256 table overflows the witness)
-    base = ICMConfig(N=args.iters, L=1024, dtype="float32", **baseline)
-    cand = ICMConfig(N=args.iters, L=1024, dtype="float32", **overrides)
+    # sweep before the cota prune (an L=256 table overflows the witness).
+    # User overrides are applied LAST so a --baseline/--overrides JSON may
+    # legitimately re-set N/L/dtype without a TypeError.
+    base = ICMConfig(**{"N": args.iters, "L": 1024, "dtype": "float32",
+                        **baseline})
+    cand = ICMConfig(**{"N": args.iters, "L": 1024, "dtype": "float32",
+                        **overrides})
 
     rows = []
     out = {"metric": "ood_fuzz", "overrides": overrides,

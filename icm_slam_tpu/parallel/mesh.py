@@ -63,9 +63,27 @@ def fleet_sharding(mesh: Mesh) -> NamedSharding:
 def put_fleet_sharded(mesh: Mesh, tree):
     """Place a stacked (W, ...) pytree on the mesh, worlds sharded across
     devices (leading axis); W must be divisible by the mesh size (callers
-    pad by replicating a world — see solver.icm.run_batched)."""
+    pad by replicating a world — see solver.icm.run_batched).
+
+    Multi-controller: plain device_put cannot address non-addressable
+    devices, so each process hands its contiguous block of worlds to
+    ``jax.make_array_from_process_local_data`` (every process holds the
+    full stacked tree; W divisible by the mesh size implies divisible by
+    the process count, since processes own equal device blocks).
+    """
     fs = fleet_sharding(mesh)
-    return jax.tree.map(lambda a: jax.device_put(a, fs), tree)
+    nproc = jax.process_count()
+    if nproc == 1:
+        return jax.tree.map(lambda a: jax.device_put(a, fs), tree)
+    pid = jax.process_index()
+
+    def put(a):
+        a = np.asarray(a)
+        per = a.shape[0] // nproc
+        local = np.ascontiguousarray(a[pid * per:(pid + 1) * per])
+        return jax.make_array_from_process_local_data(fs, local, a.shape)
+
+    return jax.tree.map(put, tree)
 
 
 def time_sharding(mesh: Mesh) -> NamedSharding:

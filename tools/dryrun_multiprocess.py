@@ -123,6 +123,22 @@ def worker(pid: int, nproc: int, port: int, devices_per_proc: int,
     assert err < 1e-4, f"[{pid}] distributed != local: max err {err}"
     assert nact_ok, f"[{pid}] landmark count {int(fm.nact)} != {int(fm_ref.nact)}"
 
+    # fleet-axis DP placement under multi-controller: put_fleet_sharded
+    # must route through make_array_from_process_local_data (device_put
+    # cannot address remote devices) and preserve values exactly
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from icm_slam_tpu.parallel.mesh import make_fleet_mesh, put_fleet_sharded
+    fleet_mesh = make_fleet_mesh(n_devices=n_total)
+    worlds = np.arange(2 * n_total * 16, dtype=np.float32).reshape(
+        2 * n_total, 16)
+    w_s = put_fleet_sharded(fleet_mesh, worlds)
+    rep_f = NamedSharding(fleet_mesh, P())
+    sums = np.asarray(jax.device_get(jax.jit(
+        lambda a: jax.lax.with_sharding_constraint(a.sum(axis=1), rep_f)
+    )(w_s)))
+    np.testing.assert_allclose(sums, worlds.sum(axis=1), rtol=1e-6)
+
     row = {"process": pid, "processes": nproc, "devices": n_total,
            "T": true_T, "max_abs_err_vs_local": err,
            "landmarks": int(fm.nact)}

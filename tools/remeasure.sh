@@ -50,9 +50,9 @@ run bench_fast_1p6g     600 python bench.py --profile fast --no-palomar
 run attribution         1200 python benchmarks/attribution.py
 run stress              900 python benchmarks/stress_long.py
 run bench_fused_ab      600 python bench.py --pallas-fused
-# round-3 additions: fleet scaling, online streaming, roofline timing,
-# and the quality-validated turbo profile (1 pass x 3 LM iters: full-depth
-# matrix green at ATE 0.037/0.053 — docs/RESULTS.md)
+# Fleet scaling: the fast-profile curve is the cross-round baseline
+# (rounds 1-3 protocol); fleet_curve_max measures the same knee at the
+# current bench default (`max`, 1p1g — docs/RESULTS.md LM-depth frontier).
 run fleet_curve         1800 python benchmarks/fleet_curve.py
 run fleet_curve_max     1200 python benchmarks/fleet_curve.py --profile max --ws 1,4,8,16,32
 run bench_turbo_1p3g    600 python bench.py --gn-iters 3
