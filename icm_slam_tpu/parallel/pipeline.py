@@ -136,6 +136,13 @@ def pipelined_refine_pass(data, old_map, x, config, w, mesh,
     empty = ~jnp.any(data.mask, axis=1)
     model = _model_of(config)
     jac1, jac2 = _jacs_of(config)
+    # same fold as sweeps._solve_two_at: the last frame's ONE-SIDED solve
+    # rides the vmapped two-sided batch (zeroed forward rows + kinematic
+    # init) instead of a separate LM chain — which here ran once PER CHUNK
+    # in stage_finalize, i.e. ceil(T/2/chunk) extra sequential LM scans per
+    # half-pass.  Gated on the default [forward(6), backward] stacking.
+    fold_last = (model.two_sided is None and model.extra_two_sided is None
+                 and jac2 is None)
 
     cap = config.obs_cap if config.obs_cap else data.dist.shape[1]
     if cap < data.dist.shape[1]:
@@ -172,43 +179,57 @@ def pipelined_refine_pass(data, old_map, x, config, w, mesh,
             ts = c["ts"][p["i"]]
             prob = jax.vmap(lambda t: prob_at(c, t))(ts)
             x_init = (prob.x_prev + prob.x_next) / 2.0
+            if fold_last:
+                kin = jax.vmap(
+                    lambda pr: model.kinematics(pr.x_prev, pr.u_prev,
+                                                config.deltat))(prob)
+                x_init = jnp.where((ts == last_t)[:, None], kin, x_init)
             return {**p, "ts": ts, "prob": prob, "x_init": x_init}
 
         def stage_optimize(c, p):
             cw = c["w"]
 
-            def solve(prob, x0):
+            def solve(prob, x0, is_last):
+                def resid(xx):
+                    r = two_sided_residuals(xx, prob, cw, model)
+                    if not fold_last:
+                        return r
+                    head = jnp.arange(r.shape[0]) < 6
+                    return jnp.where(is_last & head, 0.0, r)
                 return lm_minimize(
-                    lambda xx: two_sided_residuals(xx, prob, cw, model),
-                    x0, iters=config.pose_gn_iters,
+                    resid, x0, iters=config.pose_gn_iters,
                     jac_fn=None if jac2 is None else
                     (lambda xx: jac2(xx, prob, cw)))
-            cand = jax.vmap(solve)(p["prob"], p["x_init"])
+            cand = jax.vmap(solve)(p["prob"], p["x_init"],
+                                   p["ts"] == last_t)
             return {**p, "cand": cand}
 
         def stage_finalize(c, p):
             ts, cand = p["ts"], p["cand"]
-            # one-sided cost at the trajectory's last real frame
-            # (ICM_ROS.py:153-156): one extra solve per chunk, selected in
-            in_chunk = jnp.any(ts == last_t)
-            t_last = jnp.asarray(last_t)
-            tm1 = jnp.maximum(t_last - 1, 0)
-            z3 = jnp.zeros((3,), x.dtype)
-            prob1 = PoseProblem(
-                dist=c["dist"][t_last], ang=c["ang"][t_last],
-                mask=c["mask"][t_last], matched=c["matched"][t_last],
-                x_prev=c["x"][tm1], u_prev=c["u"][tm1],
-                odo_prev=c["odom"][tm1], odo_cur=c["odom"][t_last],
-                x_next=z3, u_cur=jnp.zeros((2,), x.dtype), odo_next=z3)
-            cw = c["w"]
-            one = lm_minimize(
-                lambda xx: one_sided_residuals(xx, prob1, cw, model),
-                model.kinematics(c["x"][tm1], c["u"][tm1], config.deltat),
-                iters=config.pose_gn_iters,
-                jac_fn=None if jac1 is None else
-                (lambda xx: jac1(xx, prob1, cw)))
-            cand = jnp.where(((ts == last_t) & in_chunk)[:, None],
-                             one[None, :], cand)
+            if not fold_last:
+                # legacy path (custom two-sided energies): one-sided cost at
+                # the trajectory's last real frame (ICM_ROS.py:153-156) as
+                # one extra solve per chunk, selected in
+                in_chunk = jnp.any(ts == last_t)
+                t_last = jnp.asarray(last_t)
+                tm1 = jnp.maximum(t_last - 1, 0)
+                z3 = jnp.zeros((3,), x.dtype)
+                prob1 = PoseProblem(
+                    dist=c["dist"][t_last], ang=c["ang"][t_last],
+                    mask=c["mask"][t_last], matched=c["matched"][t_last],
+                    x_prev=c["x"][tm1], u_prev=c["u"][tm1],
+                    odo_prev=c["odom"][tm1], odo_cur=c["odom"][t_last],
+                    x_next=z3, u_cur=jnp.zeros((2,), x.dtype), odo_next=z3)
+                cw = c["w"]
+                one = lm_minimize(
+                    lambda xx: one_sided_residuals(xx, prob1, cw, model),
+                    model.kinematics(c["x"][tm1], c["u"][tm1],
+                                     config.deltat),
+                    iters=config.pose_gn_iters,
+                    jac_fn=None if jac1 is None else
+                    (lambda xx: jac1(xx, prob1, cw)))
+                cand = jnp.where(((ts == last_t) & in_chunk)[:, None],
+                                 one[None, :], cand)
             tm1s = jnp.maximum(ts - 1, 0)
             tp1s = jnp.minimum(ts + 1, last_t)
             x_avg = (c["x"][tm1s] + c["x"][tp1s]) / 2.0

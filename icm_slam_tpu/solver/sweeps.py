@@ -841,10 +841,24 @@ def auto_obs_cap(mask, multiple: int = 8) -> int:
     return max(multiple, -(-m // multiple) * multiple)
 
 
-def _solve_two_at(data: SweepData, x, obs, config, w, ts):
+def _solve_two_at(data: SweepData, x, obs, config, w, ts, last_t=None):
     """Two-sided LM solves for the pose subset ``ts`` (K,) — one vmapped
     batch of K problems, not T (half-pass only updates one parity).
-    ``obs`` = (dist, ang, mask, matched), each (T, cap...)-shaped."""
+    ``obs`` = (dist, ang, mask, matched), each (T, cap...)-shaped.
+
+    ``last_t`` (static, optional): the trajectory's last real frame is
+    solved with the ONE-SIDED cost (ICM_ROS.py:153-156) FOLDED into the
+    same vmapped batch.  The default two-sided residual vector stacks
+    [r_kinf(3), r_odof(3), one_sided...] (core.energy.two_sided_residuals),
+    so zeroing the 6 forward rows yields exactly the one-sided system —
+    zero rows contribute exact zeros to J^T J / J^T r / the cost — and the
+    init switches to the kinematic prediction (ICM_ROS.py:254-260).  This
+    removes the separate batch-of-1 LM chain the caller previously ran
+    after the batch: one whole sequential LM-scan latency per matching
+    half-pass, a pure step-count cut in the latency-bound sweep body.
+    Callers must gate on the default [forward, backward] stacking
+    (model.two_sided / extra_two_sided unset, no analytic two-sided jac).
+    """
     T = x.shape[0]
     model = _model_of(config)
     _, jac2 = _jacs_of(config)
@@ -859,9 +873,22 @@ def _solve_two_at(data: SweepData, x, obs, config, w, ts):
             odo_prev=data.odom[tm1], odo_cur=data.odom[t],
             x_next=x[tp1], u_cur=data.u[t], odo_next=data.odom[tp1])
         x_init = (x[tm1] + x[tp1]) / 2.0
+        if last_t is None:
+            def resid(xx):
+                return two_sided_residuals(xx, prob, w, model)
+        else:
+            is_last = t == last_t
+            x_init = jnp.where(
+                is_last,
+                model.kinematics(x[tm1], data.u[tm1], config.deltat),
+                x_init)
+
+            def resid(xx):
+                r = two_sided_residuals(xx, prob, w, model)
+                head = jnp.arange(r.shape[0]) < 6
+                return jnp.where(is_last & head, 0.0, r)
         return lm_minimize(
-            lambda xx: two_sided_residuals(xx, prob, w, model),
-            x_init, iters=config.pose_gn_iters,
+            resid, x_init, iters=config.pose_gn_iters,
             jac_fn=None if jac2 is None else
             (lambda xx: jac2(xx, prob, w)))
 
@@ -912,12 +939,23 @@ def refine_sweep_batched(data: SweepData, old_map: MapState, x, config, w,
     _, final_map, matched = batched_associate(data_c, old_map, x, config)
     obs = (data_c.dist, data_c.ang, data_c.mask, matched)
 
+    # fold the last frame's one-sided solve into the vmapped batch when the
+    # energy keeps the default [forward(6), backward] residual stacking —
+    # otherwise fall back to the separate batch-of-1 LM chain
+    model = _model_of(config)
+    _, jac2 = _jacs_of(config)
+    fold_last = (model.two_sided is None and model.extra_two_sided is None
+                 and jac2 is None)
+
     def solve_at(x, ts, parity=None):
         """Solve the poses ``ts`` against the CURRENT x (two-sided; the
         last real frame one-sided, ICM_ROS.py:153-156), with the empty-
         frame neighbour average and padded-frame freeze."""
-        cand = _solve_two_at(data, x, obs, config, w, ts)
-        if parity is None:
+        cand = _solve_two_at(data, x, obs, config, w, ts,
+                             last_t=last_t if fold_last else None)
+        if fold_last:
+            pass  # the one-sided solve rode the batch (see _solve_two_at)
+        elif parity is None:
             if int(last_t) >= 1:
                 cand = cand.at[int(last_t) - 1].set(
                     _solve_one_at(data, x, obs, config, w, last_t))

@@ -327,3 +327,38 @@ def test_obs_cap_validated_in_every_mode(ijac):
     data = prepare(ds, cfg)
     with pytest.raises(ValueError, match="obs_cap"):
         resolve_config(cfg, data)
+
+
+def test_folded_last_frame_solve_matches_separate_chain():
+    # The batched sweep folds the last frame's one-sided solve into the
+    # vmapped two-sided batch by zeroing the 6 forward residual rows
+    # (sweeps._solve_two_at).  Forcing the legacy separate batch-of-1 LM
+    # chain via a (numerically inert) custom extra_two_sided must produce
+    # the same trajectory: zero rows add exact zeros to J^T J / J^T r, so
+    # any difference is f32 reduction-order noise.
+    from icm_slam_tpu.core.energy import EnergyModel, weights
+    from icm_slam_tpu.solver.icm import seed_map
+    from icm_slam_tpu.solver.sweeps import refine_sweep_batched
+
+    for T in (41, 40):  # odd/even last_t exercise both parities
+        ds = synthetic_world(T=T, n_landmarks=10, seed=7)
+        cfg = ICMConfig(N=1, L=32, cota=2.0, map_run_cap=0)
+        data = prepare(ds, cfg)
+        cfg = resolve_config(cfg, data)
+        x0 = jnp.asarray(ds.x0, data.dist.dtype)
+        old_map = seed_map(data, x0, cfg)
+        x = jnp.asarray(ds.odom, data.dist.dtype)
+        w = weights(cfg)
+
+        m_fold, x_fold = refine_sweep_batched(data, old_map, x, cfg, w)
+
+        inert = EnergyModel(
+            extra_two_sided=lambda xx, p: jnp.zeros((0,), xx.dtype))
+        cfg_legacy = dataclasses.replace(cfg, model=inert)
+        m_leg, x_leg = refine_sweep_batched(data, old_map, x, cfg_legacy, w)
+
+        np.testing.assert_allclose(np.asarray(x_fold), np.asarray(x_leg),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(m_fold.pos),
+                                   np.asarray(m_leg.pos), atol=1e-5)
+        assert int(m_fold.nact) == int(m_leg.nact)
