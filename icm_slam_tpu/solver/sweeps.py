@@ -708,18 +708,41 @@ def batched_associate(data: SweepData, old_map: MapState, x, config):
                                   precision=jax.lax.Precision.HIGHEST)
                 sums = sums[:, :, :cap_l]                    # (T, 3, cap_l)
             else:
-                def frame_sums_small(px, py, l, wi):
-                    ssx = jax.ops.segment_sum(px * wi, l,
-                                              num_segments=cap_l + 1)[:cap_l]
-                    ssy = jax.ops.segment_sum(py * wi, l,
-                                              num_segments=cap_l + 1)[:cap_l]
-                    c = jax.ops.segment_sum(wi, l,
-                                            num_segments=cap_l + 1)[:cap_l]
-                    return ssx, ssy, c
+                # CHUNKED one-hot einsum: past the one-shot gate (e.g. the
+                # 20k-frame stress world) the materialized (T, B, cap+1)
+                # one-hot is HBM poison, but each frame's sums only need its
+                # OWN chunk — so a lax.map over ceil(T/Tc) chunks keeps the
+                # MXU contraction (exact: every frame lies entirely inside
+                # one chunk, so per-frame sums are bitwise-identical to the
+                # one-shot einsum) while materializing one chunk's one-hot
+                # at a time under the same element budget.  Replaces 3
+                # vmapped scatter segment-sums, which serialize duplicate
+                # indices per frame on TPU.
+                Tc = max(1, config.assoc_onehot_max_elems
+                         // (B * (cap_l + 1)))
+                Tc = min(Tc, T)
+                nch = -(-T // Tc)
+                padT = nch * Tc - T
 
-                sx, sy, cnts = jax.vmap(frame_sums_small)(
-                    pts[..., 0], pts[..., 1], lab_old, w)    # (T, cap_l)
-                sums = jnp.stack([sx, sy, cnts], axis=1)     # (T, 3, cap_l)
+                def pad_t(a):
+                    return jnp.pad(a, [(0, padT)] + [(0, 0)] * (a.ndim - 1))
+
+                # padded rows: w = 0 -> zero contribution everywhere
+                vals_f = jnp.stack([pts[..., 0] * w, pts[..., 1] * w, w],
+                                   axis=-1)                  # (T, B, 3)
+                lab_ch = pad_t(lab_old).reshape(nch, Tc, B)
+                vals_ch = pad_t(vals_f).reshape(nch, Tc, B, 3)
+
+                def chunk_sums(args):
+                    l_c, v_c = args
+                    oh = (l_c[..., None] ==
+                          jnp.arange(cap_l + 1)).astype(dtype)
+                    s = jnp.einsum('tbc,tbv->tvc', oh, v_c,
+                                   precision=jax.lax.Precision.HIGHEST)
+                    return s[:, :, :cap_l]                   # (Tc, 3, cap_l)
+
+                sums = jax.lax.map(chunk_sums, (lab_ch, vals_ch))
+                sums = sums.reshape(nch * Tc, 3, cap_l)[:T]  # (T, 3, cap_l)
             # one fused (T, 3, cap) prefix sum instead of three (T, cap)
             # ones — the running means are per-plane prefix sums either
             # way (bitwise-identical), this just cuts op count in the

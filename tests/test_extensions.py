@@ -44,14 +44,19 @@ def test_full_potential_replacement_hooks():
     ds = synthetic_world(T=80, n_landmarks=8, seed=4)
     base = dict(N=1, L=128, cota=5.0, dtype="float32")
 
-    # 1) a pass-through replacement must reproduce the default exactly
+    # 1) a pass-through replacement must reproduce the default (atol: a
+    # custom two_sided cannot statically be known to keep the default
+    # [forward, backward] stacking, so the sweep runs the last frame as the
+    # legacy separate one-sided chain instead of the folded in-batch solve
+    # — f32 reduction-order noise at the last frames, see
+    # sweeps._solve_two_at; the trajectories are otherwise identical)
     ident = EnergyModel(
         one_sided=lambda x, p, w: one_sided_residuals(x, p, w, DEFAULT_MODEL),
         two_sided=lambda x, p, w: two_sided_residuals(x, p, w, DEFAULT_MODEL))
     r_def = run(ds, ICMConfig(**base))
     r_id = run(ds, ICMConfig(**base, model=ident, init_mode="sequential"))
     r_def_seq = run(ds, ICMConfig(**base, init_mode="sequential"))
-    np.testing.assert_allclose(r_id.x, r_def_seq.x, atol=1e-6)
+    np.testing.assert_allclose(r_id.x, r_def_seq.x, atol=2e-4)
 
     # 2) a structurally different observation model (robust soft-gated h)
     def robust_obs(x, p, sqrt_q):

@@ -362,3 +362,37 @@ def test_folded_last_frame_solve_matches_separate_chain():
         np.testing.assert_allclose(np.asarray(m_fold.pos),
                                    np.asarray(m_leg.pos), atol=1e-5)
         assert int(m_fold.nact) == int(m_leg.nact)
+
+
+def test_chunked_onehot_sums_match_oneshot():
+    # Past the one-shot gate (assoc_onehot_max_elems) the capped
+    # running-mean path computes its per-frame sums with a CHUNKED one-hot
+    # einsum (lax.map over frame chunks).  Every frame lies entirely inside
+    # one chunk, so the sweep must reproduce the one-shot einsum path.
+    from icm_slam_tpu.core.energy import weights
+    from icm_slam_tpu.solver.icm import seed_map
+    from icm_slam_tpu.solver.sweeps import refine_sweep_batched
+
+    ds = synthetic_world(T=90, n_landmarks=12, seed=11)
+    base = ICMConfig(N=1, L=256, cota=2.0, map_run_cap=128,
+                     map_run_cap_checked=True)
+    data = prepare(ds, base)
+    base = resolve_config(base, data)
+    assert base.map_run_cap == 128  # the capped fast path must be active
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    old_map = seed_map(data, x0, base)
+    x = jnp.asarray(ds.odom, data.dist.dtype)
+    w = weights(base)
+
+    m1, x1 = refine_sweep_batched(data, old_map, x, base, w)
+
+    B = data.dist.shape[1]
+    # budget for ~7 frames per chunk -> 13 chunks, plus a pad remainder
+    tiny = dataclasses.replace(
+        base, assoc_onehot_max_elems=7 * B * (base.map_run_cap + 1))
+    m2, x2 = refine_sweep_batched(data, old_map, x, tiny, w)
+
+    np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m1.pos), np.asarray(m2.pos),
+                               atol=1e-5)
+    assert int(m1.nact) == int(m2.nact)
