@@ -42,8 +42,9 @@ def main():
     from icm_slam_tpu.config import ICMConfig
     from icm_slam_tpu.data.datasets import synthetic_world
     from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit, _refine_jit,
-                                         check_witness, kept_count, prepare,
-                                         resolve_config, seed_map)
+                                         check_witness, hoist_compaction,
+                                         kept_count, prepare, resolve_config,
+                                         seed_map)
 
     t0 = time.perf_counter()
     ds = synthetic_world(T=args.frames, n_landmarks=args.landmarks,
@@ -79,6 +80,11 @@ def main():
     check_witness(jnp.stack([raw_nact.astype(jnp.int32),
                              kept_count(state, cfg.cota)]), cfg, "init sweep")
     cur = _filter_jit(state, cfg)
+
+    # same loop-invariant compaction hoist run() applies before its
+    # refinement loop — the per-iteration protocol otherwise re-runs the
+    # (T, 181) validity sort every sweep
+    data = hoist_compaction(data, cfg)
 
     m, xx, _ = _refine_jit(data, cur, x, cfg)  # warmup/compile
     jax.block_until_ready(xx)

@@ -157,8 +157,8 @@ class OnlineSLAM:
                 changes=np.zeros((0, 3)), timings={})
 
         from icm_slam_tpu.solver.icm import (_refine_jit, _refine_loop_jit,
-                                             check_witness, kept_count,
-                                             map_change, prepare,
+                                             check_witness, hoist_compaction,
+                                             kept_count, map_change, prepare,
                                              resolve_config)
         ds = Dataset(np.asarray(self._scans), np.asarray(self._odom),
                      np.asarray(self._u), x_init[0], name="online")
@@ -175,6 +175,7 @@ class OnlineSLAM:
                 jnp.stack([jnp.asarray(int(self._state.nact), jnp.int32),
                            kept_count(self._state, config.cota)]),
                 config, "online init")
+        data = hoist_compaction(data, config)
         x = jnp.asarray(x_init, data.dist.dtype)
         cur_map = jax.tree.map(lambda a: jnp.asarray(a), fm)
         t0 = _time.perf_counter()

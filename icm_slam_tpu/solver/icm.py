@@ -280,6 +280,33 @@ _refine_jit = functools.partial(jax.jit, static_argnames=("config",))(
     _refine_step)
 
 
+@functools.partial(jax.jit, static_argnames=("cap",))
+def _compact_jit(data, cap):
+    from icm_slam_tpu.solver.sweeps import compact_data
+    return compact_data(data, cap)
+
+
+def hoist_compaction(data: SweepData, config: ICMConfig) -> SweepData:
+    """Pre-compact beams ONCE for the non-sequential refinement paths.
+
+    The per-frame validity argsort in compact_data is loop-invariant;
+    `_refine_loop_jit` hoists it internally, but the per-iteration
+    observer paths (run() with callback/verbose, OnlineSLAM.finish
+    verbose, the stress benchmark) call `_refine_jit` per sweep, which
+    re-ran the (T, B) bitonic sort EVERY sweep — a real slice of the
+    20k-frame stress floor (the sort is ~64 sequential rounds on TPU).
+    The in-sweep guard (cap < B) no-ops on pre-compacted data, so this
+    is exact.  Sequential mode keeps the shared 1-D beam vector and is
+    excluded — callers pass the result wherever they would pass data.
+    """
+    if config.sweep_mode == "sequential":
+        return data
+    cap = config.obs_cap or 0
+    if cap and cap < data.dist.shape[1]:
+        return _compact_jit(data, cap)
+    return data
+
+
 @functools.partial(jax.jit, static_argnames=("config",))
 def _filter_jit(state, config):
     return filter_map(state, config.cota, config.dist_thr,
@@ -397,6 +424,10 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
     x_init = np.asarray(x)
     if on_init is not None:
         on_init(x_init)
+
+    # loop-invariant beam compaction, hoisted out of the per-iteration
+    # paths (the fused loop's internal hoist no-ops on the result)
+    data = hoist_compaction(data, config)
 
     t0 = time.perf_counter()
     if callback is None and not verbose:
