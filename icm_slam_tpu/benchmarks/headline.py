@@ -263,8 +263,8 @@ def _bench_dataset(dataset: str, args, reps: int):
     from icm_slam_tpu.config import ICMConfig
     from icm_slam_tpu.data.datasets import load
     from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit,
-                                         _refine_loop_jit, prepare,
-                                         resolve_config, seed_map)
+                                         _refine_loop_jit, hoist_compaction,
+                                         prepare, resolve_config, seed_map)
 
     ds = load(dataset)
     if args.frames:
@@ -302,6 +302,11 @@ def _bench_dataset(dataset: str, args, reps: int):
     jax.block_until_ready(x)
     init_s = time.perf_counter() - t0
     cur_map = _filter_jit(state, cfg)
+
+    # the same loop-invariant compaction hoist run() applies between init
+    # and refinement — without it every timed rep re-runs the (T, B)
+    # validity sort inside the fused program (production parity)
+    data = hoist_compaction(data, cfg)
 
     # --- refinement sweeps: warmup (compile) then timed fused loop ---
     # the production path (run() with no per-iteration observer) executes
