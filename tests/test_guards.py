@@ -396,3 +396,44 @@ def test_chunked_onehot_sums_match_oneshot():
     np.testing.assert_allclose(np.asarray(m1.pos), np.asarray(m2.pos),
                                atol=1e-5)
     assert int(m1.nact) == int(m2.nact)
+
+
+def test_hoist_compaction_exact_on_observer_path():
+    # run()'s per-iteration observer path (callback/verbose) pre-compacts
+    # beams ONCE via solver.icm.hoist_compaction; the in-sweep cap guard
+    # must no-op on the pre-compacted data so every sweep is bitwise
+    # identical to running on the raw full-width data (where the sweep
+    # compacts internally with the same stable argsort).
+    from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit, _refine_jit,
+                                         hoist_compaction, seed_map)
+
+    ds = synthetic_world(T=120, n_landmarks=12, seed=9)
+    cfg = ICMConfig(N=2, L=128, cota=2.0)
+    data = prepare(ds, cfg)
+    cfg = resolve_config(cfg, data)
+    assert 0 < cfg.obs_cap < data.dist.shape[1], \
+        "fixture must engage the hoist (cap below full beam width)"
+
+    x0 = jnp.asarray(ds.x0, data.dist.dtype)
+    seed = seed_map(data, x0, cfg)
+    state, x, _ = _init_jit(data, seed, x0, cfg)
+    m0 = _filter_jit(state, cfg)
+
+    hoisted = hoist_compaction(data, cfg)
+    assert hoisted.dist.shape[1] == cfg.obs_cap
+    # idempotent: the guard sees B == cap and returns the input unchanged
+    assert hoist_compaction(hoisted, cfg) is hoisted
+
+    m_raw, x_raw, m_h, x_h = m0, x, m0, x
+    for _ in range(2):
+        m_raw, x_raw, w_raw = _refine_jit(data, m_raw, x_raw, cfg)
+        m_h, x_h, w_h = _refine_jit(hoisted, m_h, x_h, cfg)
+        np.testing.assert_array_equal(np.asarray(x_raw), np.asarray(x_h))
+        np.testing.assert_array_equal(np.asarray(m_raw.pos),
+                                      np.asarray(m_h.pos))
+        np.testing.assert_array_equal(np.asarray(w_raw), np.asarray(w_h))
+    assert int(m_raw.nact) == int(m_h.nact)
+
+    # sequential mode keeps the shared 1-D beam vector: hoist must no-op
+    seq = dataclasses.replace(cfg, sweep_mode="sequential")
+    assert hoist_compaction(data, seq) is data
