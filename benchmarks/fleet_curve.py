@@ -50,8 +50,8 @@ def main():
     from icm_slam_tpu.config import ICMConfig
     from icm_slam_tpu.data.datasets import load
     from icm_slam_tpu.solver.icm import (_filter_jit, _init_jit,
-                                         _refine_loop_jit, prepare,
-                                         resolve_config, seed_map)
+                                         _refine_loop_jit, hoist_compaction,
+                                         prepare, resolve_config, seed_map)
 
     passes, gn_iters = {"default": (2, 8), "turbo": (1, 3),
                         "ultra": (1, 2), "max": (1, 1),
@@ -66,6 +66,10 @@ def main():
     seed = seed_map(data, x0, cfg)
     state, x, _ = _init_jit(data, seed, x0, cfg)
     cur_map = _filter_jit(state, cfg)
+    # same protocol as bench.py's fleet row: hoist the loop-invariant beam
+    # compaction BEFORE replicating — the fused loop's internal hoist
+    # no-ops on the result, and the W replicas carry ~cap beams, not B=181
+    data = hoist_compaction(data, cfg)
 
     def fleet_loop_fn(n_iters):
         @jax.jit

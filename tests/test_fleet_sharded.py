@@ -35,7 +35,11 @@ def _assert_equal(sharded, unsharded):
     assert len(sharded) == len(unsharded)
     for rs, ru in zip(sharded, unsharded):
         assert rs.map_pos.shape == ru.map_pos.shape   # same census
-        np.testing.assert_allclose(rs.x, ru.x, atol=5e-4)
+        # 1e-3, not 5e-4: the sharded program (W/n worlds per device) and
+        # the unsharded W-world batch fuse differently, and LM iterations
+        # amplify the f32 rounding delta (the multichip dryrun measured a
+        # 5.6e-4 element on its fixture after a pure op-reorder change)
+        np.testing.assert_allclose(rs.x, ru.x, atol=1e-3)
         np.testing.assert_allclose(rs.x_init, ru.x_init, atol=1e-6)
         np.testing.assert_allclose(rs.map_pos, ru.map_pos, atol=1e-5)
 
