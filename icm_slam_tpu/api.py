@@ -120,10 +120,14 @@ def _resume_run(dataset: Dataset, config: ICMConfig, state: dict,
     import jax.numpy as jnp
     from icm_slam_tpu.mapping.landmark_map import MapState
     from icm_slam_tpu.solver.icm import (_refine_loop_jit, check_witness,
-                                         prepare, resolve_config)
+                                         hoist_compaction, prepare,
+                                         resolve_config)
 
     data = prepare(dataset, config)
     config = resolve_config(config, data)
+    # same loop-invariant compaction hoist as run(): without it a logger
+    # (stride 1) would re-run the (T, B) validity argsort every sweep
+    data = hoist_compaction(data, config)
     dtype = data.dist.dtype
     L = config.L
     pos = jnp.zeros((L, 2), dtype).at[:state["map_pos"].shape[0]].set(

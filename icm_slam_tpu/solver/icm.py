@@ -201,6 +201,11 @@ def prepare(dataset: Dataset, config: ICMConfig, dtype=None) -> SweepData:
 
 def seed_map(data: SweepData, x0, config: ICMConfig) -> MapState:
     """Cluster frame 0 on the host and seed the landmark table."""
+    if np.ndim(data.ang) != 1:
+        raise ValueError(
+            "seed_map needs RAW SweepData (shared 1-D beam angles); got "
+            "per-frame 2-D ang — hoist_compaction output is only for the "
+            "refine paths")
     pts = np.asarray(beams_to_world(x0, data.dist[0], data.ang))
     mask0 = np.asarray(data.mask[0])
     pts_valid = pts[mask0]
@@ -286,6 +291,20 @@ def _compact_jit(data, cap):
     return compact_data(data, cap)
 
 
+def _compaction_cap(data: SweepData, config: ICMConfig) -> int:
+    """Beam-compaction budget when it applies to ``data``, else 0.
+
+    The single eligibility predicate shared by hoist_compaction and the
+    in-loop hoist in _refine_loop_jit — sequential mode keeps the shared
+    1-D beam vector and is excluded; already-compacted data (B == cap)
+    returns 0 so every hoist is idempotent.
+    """
+    if config.sweep_mode == "sequential":
+        return 0
+    cap = config.obs_cap or 0
+    return cap if cap and cap < data.dist.shape[1] else 0
+
+
 def hoist_compaction(data: SweepData, config: ICMConfig) -> SweepData:
     """Pre-compact beams ONCE for the non-sequential refinement paths.
 
@@ -296,15 +315,13 @@ def hoist_compaction(data: SweepData, config: ICMConfig) -> SweepData:
     re-ran the (T, B) bitonic sort EVERY sweep — a real slice of the
     20k-frame stress floor (the sort is ~64 sequential rounds on TPU).
     The in-sweep guard (cap < B) no-ops on pre-compacted data, so this
-    is exact.  Sequential mode keeps the shared 1-D beam vector and is
-    excluded — callers pass the result wherever they would pass data.
+    is exact FOR THE REFINE PATHS (_refine_jit / _refine_loop_jit /
+    refine_sweep_batched / the BA backends).  The result has per-frame
+    2-D ``ang`` — the 1-D-ang consumers (seed_map, the init sweeps,
+    loop-closure detect) must keep getting the RAW data.
     """
-    if config.sweep_mode == "sequential":
-        return data
-    cap = config.obs_cap or 0
-    if cap and cap < data.dist.shape[1]:
-        return _compact_jit(data, cap)
-    return data
+    cap = _compaction_cap(data, config)
+    return _compact_jit(data, cap) if cap else data
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -335,13 +352,11 @@ def _refine_loop_jit(data, cur_map, x, config, n_iters, with_metrics=True):
     # argsort is loop-invariant, but XLA does not move sorts out of while
     # bodies — compacting here runs it once per loop, not once per sweep.
     # (The in-sweep compaction no-ops on pre-compacted data: its
-    # cap < B guard sees B == cap.)  The sequential mode keeps the shared
-    # 1-D beam-angle vector, so it is excluded.
-    if config.sweep_mode != "sequential":
-        cap = config.obs_cap or 0
-        if cap and cap < data.dist.shape[1]:
-            from icm_slam_tpu.solver.sweeps import compact_data
-            data = compact_data(data, cap)
+    # cap < B guard sees B == cap.)
+    cap = _compaction_cap(data, config)
+    if cap:
+        from icm_slam_tpu.solver.sweeps import compact_data
+        data = compact_data(data, cap)
 
     def body(carry, _):
         cur_map, x = carry
@@ -426,8 +441,13 @@ def run(dataset: Dataset, config: ICMConfig, n_iters: Optional[int] = None,
         on_init(x_init)
 
     # loop-invariant beam compaction, hoisted out of the per-iteration
-    # paths (the fused loop's internal hoist no-ops on the result)
+    # paths (the fused loop's internal hoist no-ops on the result);
+    # timed into its own bucket so _compact_jit's first-process compile
+    # (remote on axon) is not attributed to init or refine
+    t0 = time.perf_counter()
     data = hoist_compaction(data, config)
+    jax.block_until_ready(data.dist)
+    timings["hoist_s"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
     if callback is None and not verbose:
